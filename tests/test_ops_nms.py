@@ -1,0 +1,80 @@
+import numpy as np
+import jax.numpy as jnp
+
+from videotofaces_tpu.ops import nms as N
+
+import oracles
+from test_ops_boxes import random_boxes
+
+
+def _pad(boxes, scores, k):
+    n = len(boxes)
+    b = np.zeros((k, 4), dtype=np.float32)
+    s = np.zeros((k,), dtype=np.float32)
+    v = np.zeros((k,), dtype=bool)
+    b[:n], s[:n], v[:n] = boxes, scores, True
+    return jnp.asarray(b), jnp.asarray(s), jnp.asarray(v)
+
+
+def test_greedy_nms_matches_oracle(rng):
+    for trial in range(5):
+        n = 60
+        boxes = random_boxes(rng, n, lim=200)
+        scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+        b, s, v = _pad(boxes, scores, 80)
+        keep = np.asarray(N.nms_keep_mask(b, s, v, 0.5))
+        want_idx = oracles.np_greedy_nms(boxes, scores, 0.5)
+        want = np.zeros(80, dtype=bool)
+        want[want_idx] = True
+        np.testing.assert_array_equal(keep, want)
+
+
+def test_grouped_nms_matches_oracle(rng):
+    n = 80
+    boxes = random_boxes(rng, n, lim=150)
+    scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+    groups = rng.integers(0, 3, size=n)
+    b, s, v = _pad(boxes, scores, 96)
+    g = np.zeros(96, dtype=np.int32)
+    g[:n] = groups
+    keep = np.asarray(N.nms_keep_mask(b, s, v, 0.4, group_ids=jnp.asarray(g)))
+    want_idx = oracles.np_greedy_nms(boxes, scores, 0.4, group_ids=groups)
+    want = np.zeros(96, dtype=bool)
+    want[want_idx] = True
+    np.testing.assert_array_equal(keep, want)
+
+
+def test_iom_chain_matches_oracle(rng):
+    n = 50
+    boxes = random_boxes(rng, n, lim=120)
+    scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+    groups = rng.integers(0, 2, size=n)
+    b, s, v = _pad(boxes, scores, 64)
+    g = np.zeros(64, dtype=np.int32)
+    g[:n] = groups
+    keep = np.asarray(N.iom_chain_suppress(b, s, v, 0.7, group_ids=jnp.asarray(g)))
+    want = oracles.np_iom_chain(boxes, scores, 0.7, group_ids=groups)
+    np.testing.assert_array_equal(keep[:n], want)
+    assert not keep[n:].any()
+
+
+def test_batched_nms_topk_order(rng):
+    n = 40
+    boxes = random_boxes(rng, n, lim=100)
+    scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+    b, s, v = _pad(boxes, scores, 64)
+    out_b, out_s, idx, valid = N.batched_nms_topk(b, s, v, 0.5, topk=10)
+    want_idx = oracles.np_greedy_nms(boxes, scores, 0.5)[:10]
+    got_idx = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got_idx, want_idx[: len(got_idx)])
+    # scores come back in descending order
+    out_s = np.asarray(out_s)[np.asarray(valid)]
+    assert (np.diff(out_s) <= 1e-6).all()
+
+
+def test_nms_all_invalid():
+    b = jnp.zeros((8, 4))
+    s = jnp.zeros((8,))
+    v = jnp.zeros((8,), dtype=bool)
+    keep = np.asarray(N.nms_keep_mask(b, s, v, 0.5))
+    assert not keep.any()

@@ -1,0 +1,63 @@
+import numpy as np
+import jax.numpy as jnp
+
+from videotofaces_tpu.ops import resize as R
+
+import oracles
+
+
+def test_adaptive_avg_resize_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.uniform(-1, 1, size=(2, 37, 53, 3)).astype(np.float32)
+    for out in [(24, 24), (12, 30), (37, 53), (48, 60)]:
+        got = np.asarray(R.adaptive_avg_resize(jnp.asarray(x), out))
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        if max(out) <= max(37, 53):
+            want = F.adaptive_avg_pool2d(t, out).permute(0, 2, 3, 1).numpy()
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_adaptive_avg_upsample_matches_torch(rng):
+    # MTCNN pyramid can upscale (sizes = int(H*s+1)); adaptive pool handles it too
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.uniform(-1, 1, size=(1, 20, 20, 3)).astype(np.float32)
+    got = np.asarray(R.adaptive_avg_resize(jnp.asarray(x), (49, 49)))
+    want = F.adaptive_avg_pool2d(torch.from_numpy(x).permute(0, 3, 1, 2), (49, 49))
+    np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_resize_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.uniform(0, 255, size=(2, 31, 47, 3)).astype(np.float32)
+    for out in [(160, 160), (17, 23), (62, 94)]:
+        got = np.asarray(R.bilinear_resize(jnp.asarray(x), out))
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.interpolate(t, size=out, mode="bilinear", align_corners=False)
+        np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-3)
+
+
+def test_integral_adaptive_pool_boxes_exact(rng):
+    frames = rng.integers(0, 256, size=(2, 120, 160, 3)).astype(np.uint8)
+    ii = np.asarray(R.integral_image(jnp.asarray(frames)))
+    assert ii.shape == (2, 121, 161, 3)
+
+    boxes = []
+    for _ in range(12):
+        x1 = int(rng.integers(0, 100))
+        y1 = int(rng.integers(0, 80))
+        boxes.append([x1, y1, x1 + int(rng.integers(5, 60)), y1 + int(rng.integers(5, 40))])
+    boxes = np.asarray(boxes, dtype=np.int32)
+    boxes[:, 2] = boxes[:, 2].clip(max=160)
+    boxes[:, 3] = boxes[:, 3].clip(max=120)
+
+    got = np.asarray(R.adaptive_pool_boxes(jnp.asarray(ii[0]), jnp.asarray(boxes), (24, 24)))
+    for k, (x1, y1, x2, y2) in enumerate(boxes):
+        crop = frames[0, y1:y2, x1:x2].astype(np.float64)
+        want = oracles.np_adaptive_avg_pool(crop, (24, 24))
+        np.testing.assert_allclose(got[k], want, rtol=1e-6, atol=1e-4)

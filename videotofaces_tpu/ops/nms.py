@@ -1,0 +1,96 @@
+"""Fixed-capacity NMS on padded buffers.
+
+The reference relies on ``torchvision.ops.batched_nms`` (dynamic output sizes,
+C++/CUDA). On TPU every candidate set is a fixed-size buffer with a validity
+mask, and NMS returns a keep *mask* (or a top-k gather) instead of a variable
+index list. Greedy suppression order matches torchvision: candidates are
+processed in descending score order and a candidate is suppressed iff it
+overlaps an earlier *kept* candidate of the same group above the threshold.
+
+The MTCNN "Min" NMS (detectors/mtcnn.py:273-309, chain_suppression=True) is a
+different rule — a candidate is suppressed if *any* earlier candidate (kept or
+not) overlaps it — which is a pure matrix expression with no sequential loop.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .boxes import box_iou_matrix
+
+
+def nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=None, plus_one=False, mode="iou"):
+    """Greedy NMS over a padded buffer. Returns a bool keep mask in input order.
+
+    boxes [K, 4], scores [K], valid [K] bool, group_ids [K] int (optional):
+    suppression only happens within the same group (torchvision batched_nms
+    semantics — equivalent to independent per-group NMS).
+    """
+    k = boxes.shape[0]
+    masked = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-masked)  # stable descending
+    b = boxes[order]
+    v = valid[order]
+    iou = box_iou_matrix(b, b, plus_one=plus_one, mode=mode)
+    same = jnp.ones((k, k), dtype=bool)
+    if group_ids is not None:
+        g = group_ids[order]
+        same = g[:, None] == g[None, :]
+    later = jnp.arange(k)[None, :] > jnp.arange(k)[:, None]
+    suppresses = (iou > iou_thr) & same & later  # [i, j]: i (if kept) kills j
+
+    def body(i, supp):
+        active = v[i] & ~supp[i]
+        return jnp.where(active, supp | suppresses[i], supp)
+
+    supp = lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+    keep_sorted = v & ~supp
+    return jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
+
+
+def iom_chain_suppress(boxes, scores, valid, iom_thr, group_ids=None, plus_one=True):
+    """MTCNN final-stage 'Min' NMS with chain suppression — fully parallel.
+
+    A candidate is dropped iff ANY candidate earlier in (stable) descending
+    score order within the same group has intersection-over-minimum > thr,
+    regardless of whether that earlier candidate itself survives.
+    Reference: detectors/mtcnn.py:273-309 with method='Min'.
+    """
+    k = boxes.shape[0]
+    masked = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-masked)
+    rank = jnp.zeros((k,), dtype=jnp.int32).at[order].set(jnp.arange(k, dtype=jnp.int32))
+    iom = box_iou_matrix(boxes, boxes, plus_one=plus_one, mode="iom")
+    earlier = rank[:, None] < rank[None, :]  # [j, i]: j earlier than i
+    same = jnp.ones((k, k), dtype=bool)
+    if group_ids is not None:
+        same = group_ids[:, None] == group_ids[None, :]
+    kills = (iom > iom_thr) & earlier & same & valid[:, None]
+    return valid & ~jnp.any(kills, axis=0)
+
+
+def topk_by_score(scores, keep, topk):
+    """Indices of the top-k kept candidates by score (padded with validity).
+
+    Returns (idx [topk], valid [topk]). Order is descending score — the same
+    order torchvision batched_nms returns its keeps in, so ``[:imtop]``
+    truncation semantics (operations/post.py:4-10) are preserved.
+    """
+    masked = jnp.where(keep, scores, -jnp.inf)
+    vals, idx = lax.top_k(masked, topk)
+    return idx, vals > -jnp.inf
+
+
+def batched_nms_topk(boxes, scores, valid, iou_thr, topk, group_ids=None, plus_one=False):
+    """Greedy NMS + top-k selection: the fixed-capacity ``final_nms`` equivalent.
+
+    Inputs are flat padded buffers [K, ...]; output is ([topk, 4] boxes,
+    [topk] scores, [topk] source indices, [topk] valid mask).
+    """
+    keep = nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=group_ids, plus_one=plus_one)
+    idx, out_valid = topk_by_score(scores, keep, topk)
+    return boxes[idx], scores[idx], idx, out_valid
+
+
+# Convenience: vmapped single-group NMS over a leading batch axis.
+nms_keep_mask_batch = jax.vmap(nms_keep_mask, in_axes=(0, 0, 0, None))

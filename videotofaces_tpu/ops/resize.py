@@ -1,0 +1,116 @@
+"""Resampling ops, designed for the MXU instead of translated from cv2/torch.
+
+Three families, matching the three resampling behaviors of the reference:
+
+1. ``bilinear_resize`` — half-pixel bilinear (cv2 INTER_LINEAR / torch
+   ``interpolate(align_corners=False)``), used for detector preprocessing
+   (operations/prep.py:77) and encoder blobs (facenet.py:179, vit.py:141).
+
+2. ``adaptive_avg_resize`` — exact replica of ``F.adaptive_avg_pool2d``
+   (mtcnn.py:150-151) for *static* shapes, expressed as two small matmuls
+   with host-precomputed averaging matrices: ``out = Wh @ x @ Ww^T``. This is
+   how the MTCNN image pyramid runs on the MXU.
+
+3. ``integral_image_u8`` + ``adaptive_pool_boxes`` — exact adaptive average
+   pooling of *dynamic* uint8 crops (MTCNN stage 2/3 candidate windows,
+   mtcnn.py:153-163) via an int32 integral image. Inputs are uint8-derived, so
+   window sums are exact integers (max 2^31 safe for <=8.4MP frames) and the
+   result is bit-accurate up to one f32 division.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bilinear_resize(x, out_hw):
+    """Half-pixel bilinear resize over the (-3, -2) spatial axes of an NHWC/HWC array."""
+    shape = list(x.shape)
+    shape[-3], shape[-2] = out_hw
+    return jax.image.resize(x.astype(jnp.float32), shape, method="linear", antialias=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_matrix(in_size: int, out_size: int):
+    """[out, in] averaging matrix replicating adaptive_avg_pool1d windows:
+    window_i = [floor(i*in/out), ceil((i+1)*in/out))."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        a = (i * in_size) // out_size
+        b = -((-(i + 1) * in_size) // out_size)  # ceil
+        w[i, a:b] = 1.0 / (b - a)
+    return w
+
+
+def adaptive_avg_resize(x, out_hw):
+    """Exact ``F.adaptive_avg_pool2d`` for NHWC (or HWC) arrays with static shapes.
+
+    Runs as two dense matmuls (MXU) with precomputed window-average matrices.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    wh = jnp.asarray(_adaptive_matrix(h, oh))
+    ww = jnp.asarray(_adaptive_matrix(w, ow))
+    x = x.astype(jnp.float32)
+    x = jnp.einsum("oh,...hwc->...owc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("pw,...owc->...opc", ww, x, precision=jax.lax.Precision.HIGHEST)
+    return x
+
+
+def integral_image(frames, dtype=jnp.int32):
+    """Zero-padded 2D inclusive-prefix-sum: [B, H, W, C] -> [B, H+1, W+1, C].
+
+    For uint8 inputs the int32 sums are exact for frames up to ~8.4 megapixels.
+    """
+    s = jnp.cumsum(jnp.cumsum(frames.astype(dtype), axis=-3), axis=-2)
+    s = jnp.pad(s, [(0, 0)] * (s.ndim - 3) + [(1, 0), (1, 0), (0, 0)])
+    return s
+
+
+def adaptive_pool_boxes(ii, boxes_xyxy, out_size):
+    """Adaptive-average-pool dynamic integer windows using an integral image.
+
+    ``ii``: [H+1, W+1, C] integral image of ONE frame (see ``integral_image``).
+    ``boxes_xyxy``: [N, 4] int32 pixel windows [x1:x2, y1:y2) (already clamped,
+    x2 > x1, y2 > y1). ``out_size``: (oh, ow) static.
+
+    Returns [N, oh, ow, C] float32 window averages — exactly what
+    ``F.adaptive_avg_pool2d(crop, out_size)`` computes for each crop
+    (mtcnn.py:150-163), without any per-box Python loop: one gather of
+    (oh+1)*(ow+1) integral values per box.
+    """
+    oh, ow = out_size
+    x1, y1, x2, y2 = (boxes_xyxy[:, i] for i in range(4))
+    h = (y2 - y1)[:, None]  # [N, 1]
+    w = (x2 - x1)[:, None]
+
+    iy = jnp.arange(oh + 1, dtype=jnp.int32)[None, :]  # window boundaries per output row
+    ix = jnp.arange(ow + 1, dtype=jnp.int32)[None, :]
+
+    # adaptive pool cell i covers [floor(i*size/n), ceil((i+1)*size/n)); the end is
+    # NOT the next start in general, so both boundary grids are tracked.
+    def bounds(c0, size, n, grid):
+        starts = c0[:, None] + (grid[:, :n] * size) // n
+        ends = c0[:, None] + -((-(grid[:, 1:] * size)) // n)
+        return starts, ends
+
+    y_start, y_end = bounds(y1, h, oh, iy)  # [N, oh]
+    x_start, x_end = bounds(x1, w, ow, ix)  # [N, ow]
+
+    hh, ww_ = ii.shape[0], ii.shape[1]
+    flat = ii.reshape(hh * ww_, -1)
+
+    def corner(yy, xx):  # yy [N, oh], xx [N, ow] -> [N, oh, ow, C]
+        idx = yy[:, :, None] * ww_ + xx[:, None, :]
+        return flat[idx.reshape(-1)].reshape(idx.shape + (ii.shape[-1],))
+
+    total = (
+        corner(y_end, x_end)
+        - corner(y_start, x_end)
+        - corner(y_end, x_start)
+        + corner(y_start, x_start)
+    ).astype(jnp.float32)
+    area = ((y_end - y_start)[:, :, None] * (x_end - x_start)[:, None, :]).astype(jnp.float32)
+    return total / jnp.maximum(area, 1.0)[..., None]
