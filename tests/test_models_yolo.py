@@ -1,0 +1,96 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from videotofaces_tpu.models import yolo as Y
+from videotofaces_tpu.utils import weights as W
+
+import oracles
+
+
+def np_yolo_postprocess(maps, priors, strides, nc=1, conf_thr=0.005, score_thr=0.05,
+                        iou_thr=0.45, out_topk=100):
+    """Numpy oracle replicating the reference candidate/NMS semantics
+    (detectors/yolo.py:151-175)."""
+    b = maps[0].shape[0]
+    flat = np.concatenate([m.reshape(b, -1, nc + 5) for m in maps], axis=1)
+    results = []
+    for i in range(b):
+        reg = flat[i, :, :4]
+        obj = 1 / (1 + np.exp(-flat[i, :, 4]))
+        cls = 1 / (1 + np.exp(-flat[i, :, 5:]))
+        loc_idx, cls_idx = np.nonzero((obj[:, None] >= conf_thr) & (cls > score_thr))
+        scores = cls[loc_idx, cls_idx] * obj[loc_idx]
+        boxes = oracles.np_decode_yolo(reg[loc_idx], priors[loc_idx], strides[loc_idx])
+        keep = oracles.np_greedy_nms(boxes, scores, iou_thr, group_ids=cls_idx)[:out_topk]
+        results.append((boxes[keep], scores[keep], cls_idx[keep]))
+    return results
+
+
+def test_yolo_map_shapes():
+    m = Y.YOLOv3()
+    x = jnp.zeros((1, 608, 608, 3))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    maps = m.apply({"params": params}, x)
+    assert [t.shape for t in maps] == [(1, 19, 19, 18), (1, 38, 38, 18), (1, 76, 76, 18)]
+
+
+def test_yolo_postprocess_matches_oracle(rng):
+    canvas = (96, 128)
+    priors, strides = Y.flat_priors_and_strides(canvas)
+    d32 = (3 * 4, 6 * 8, 12 * 16)
+    maps = [rng.normal(-2.2, 1.2, size=(2, h, w, 18)).astype(np.float32)
+            for (h, w) in [(3, 4), (6, 8), (12, 16)]]
+    del d32
+    got_b, got_s, got_c, got_v = jax.jit(
+        lambda ms: Y.postprocess(ms, jnp.asarray(priors), jnp.asarray(strides), pre_topk=600)
+    )([jnp.asarray(m) for m in maps])
+    want = np_yolo_postprocess(maps, priors, strides)
+    for i in range(2):
+        v = np.asarray(got_v[i])
+        wb, ws, wc = want[i]
+        assert v.sum() == len(wb), (v.sum(), len(wb))
+        np.testing.assert_allclose(np.asarray(got_s[i])[v], ws, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_b[i])[v], wb, rtol=1e-3, atol=1e-2)
+
+
+def test_yolo_spec_matches_param_tree():
+    m = Y.YOLOv3()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 128, 3)))["params"]
+    spec = Y.torch_spec()
+
+    # synthesize a torch-ordered tensor stream from the spec itself
+    exp_flat = W.flatten(jax.tree.map(np.asarray, params))
+    tensors = []
+    for el in spec:
+        kind = el[0]
+        if kind == "conv":
+            kern = exp_flat[f"{el[1]}/kernel"]
+            tensors.append(np.transpose(kern, (3, 2, 0, 1)))
+            if el[2]:
+                tensors.append(exp_flat[f"{el[1]}/bias"])
+        elif kind == "bn":
+            for suffix in ["scale", "bias", "mean", "var"]:
+                tensors.append(exp_flat[f"{el[1]}/{suffix}"])
+            tensors.append(np.zeros(()))  # num_batches_tracked
+        else:
+            raise AssertionError(kind)
+
+    flat = W.convert_state(spec, tensors)
+    assert set(flat) == set(exp_flat)
+    for k in flat:
+        assert flat[k].shape == exp_flat[k].shape, k
+        np.testing.assert_array_equal(flat[k], exp_flat[k])
+
+
+def test_yolo_full_forward_smoke(rng):
+    frames = rng.integers(0, 255, size=(2, 120, 160, 3)).astype(np.uint8)
+    nh, nw = Y.resized_shape(120, 160, max_side=160)
+    canvas = Y.canvas_shape(nh, nw)
+    priors, strides = Y.flat_priors_and_strides(canvas)
+    m = Y.YOLOv3()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, *canvas, 3)))["params"]
+    fn = jax.jit(lambda p, f: Y.full_forward(p, f, (nh, nw), canvas, jnp.asarray(priors),
+                                             jnp.asarray(strides), out_topk=20))
+    boxes, scores, classes, valid = fn(params, jnp.asarray(frames))
+    assert boxes.shape == (2, 20, 4) and valid.shape == (2, 20)

@@ -1,0 +1,226 @@
+"""YOLOv3 face detector (Darknet-53 + FPN-style neck + 3-level head).
+
+Architecture parity target: detectors/yolo.py:17-176 (mmdetection-style YOLOv3
+with num_classes=1, WIDER-face weights). TPU redesign:
+
+- whole forward (preprocess -> backbone -> neck -> head -> decode -> NMS) is a
+  single jitted graph per static input bucket; frames enter as uint8 NHWC
+  (4x less host->device traffic than float)
+- the dynamic-size filter/NMS tail (yolo.py:151-175) becomes: sigmoid scores,
+  joint (objectness, class-score) mask, top-K selection, fixed-capacity greedy
+  NMS per image grouped by class, top-100 output with validity mask
+"""
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.anchors import get_priors
+from ..ops.boxes import decode_boxes
+from ..ops.nms import nms_keep_mask, topk_by_score
+from ..ops.resize import bilinear_resize
+from .layers import ConvUnit
+
+BASES = [
+    (32, [(116, 90), (156, 198), (373, 326)]),
+    (16, [(30, 61), (62, 45), (59, 119)]),
+    (8, [(10, 13), (16, 30), (33, 23)]),
+]
+
+
+def dconv(cout, k, s=1, name=None):
+    return ConvUnit(cout, k, s, p=(k - 1) // 2, activ="lrelu_0.1", bn_eps=1e-5, name=name)
+
+
+class ResBlock(nn.Module):
+    c: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = dconv(self.c // 2, 1, name="conv1")(x)
+        y = dconv(self.c, 3, name="conv2")(y)
+        return y + x
+
+
+class Darknet53(nn.Module):
+    """Returns (C3, C4, C5) at strides (8, 16, 32)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = dconv(32, 3, name="conv1")(x)
+        counts = [1, 2, 8, 8, 4]
+        chans = [64, 128, 256, 512, 1024]
+        outs = []
+        for i, (n, c) in enumerate(zip(counts, chans)):
+            x = dconv(c, 3, s=2, name=f"stage{i}_down")(x)
+            for j in range(n):
+                x = ResBlock(c, name=f"stage{i}_res{j}")(x)
+            outs.append(x)
+        return outs[2], outs[3], outs[4]
+
+
+class DetectionBlock(nn.Module):
+    cout: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = dconv(self.cout, 1, name="c0")(x)
+        x = dconv(self.cout * 2, 3, name="c1")(x)
+        x = dconv(self.cout, 1, name="c2")(x)
+        x = dconv(self.cout * 2, 3, name="c3")(x)
+        x = dconv(self.cout, 1, name="c4")(x)
+        return x
+
+
+def _upsample2(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class YOLOv3Neck(nn.Module):
+    """Top-down feature aggregation: detect @32, upsample-concat @16, @8."""
+
+    @nn.compact
+    def __call__(self, c3, c4, c5):
+        y3 = DetectionBlock(512, name="detect1")(c5)
+        t = dconv(256, 1, name="conv1")(y3)
+        t = jnp.concatenate([_upsample2(t), c4], axis=-1)
+        y2 = DetectionBlock(256, name="detect2")(t)
+        t = dconv(128, 1, name="conv2")(y2)
+        t = jnp.concatenate([_upsample2(t), c3], axis=-1)
+        y1 = DetectionBlock(128, name="detect3")(t)
+        return y3, y2, y1
+
+
+class YOLOv3Head(nn.Module):
+    num_classes: int = 1
+
+    @nn.compact
+    def __call__(self, y3, y2, y1):
+        cout = (self.num_classes + 5) * 3
+        maps = []
+        for i, (y, cmid) in enumerate(zip((y3, y2, y1), (1024, 512, 256))):
+            y = dconv(cmid, 3, name=f"bridge{i}")(y)
+            y = nn.Conv(cout, (1, 1), use_bias=True, name=f"pred{i}")(y)
+            maps.append(y)
+        return maps  # strides (32, 16, 8)
+
+
+class YOLOv3(nn.Module):
+    num_classes: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        c3, c4, c5 = Darknet53(name="backbone")(x)
+        y3, y2, y1 = YOLOv3Neck(name="neck")(c3, c4, c5)
+        return YOLOv3Head(self.num_classes, name="head")(y3, y2, y1)
+
+
+def flat_priors_and_strides(canvas_hw):
+    """Concatenated priors [D, 4] and per-candidate strides [D, 1] in the same
+    flat order as the head maps (level 32 -> 16 -> 8, row-major, anchor-minor)."""
+    priors = get_priors(canvas_hw, BASES, loc="center")
+    strides = np.concatenate([
+        np.full((lvl.shape[0], 1), s, np.float32)
+        for s, lvl in zip((32, 16, 8), get_priors(canvas_hw, BASES, loc="center", concat=False))
+    ])
+    return priors, strides
+
+
+def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=0.05,
+                iou_thr=0.45, pre_topk=1000, out_topk=100):
+    """Fixed-capacity postprocessing for one batch of head maps.
+
+    Candidate semantics match yolo.py:151-175: a candidate is a (location,
+    class) pair with objectness >= conf_thr and class score > score_thr; its
+    final score is obj * cls; NMS is per image, grouped by class.
+
+    Returns (boxes [B, out_topk, 4] in canvas coords, scores, classes, valid).
+    """
+    b = maps[0].shape[0]
+    nc = num_classes
+    flat = jnp.concatenate([m.reshape(b, -1, nc + 5) for m in maps], axis=1)  # [B, D, 5+nc]
+    reg = flat[..., :4]
+    obj = jax.nn.sigmoid(flat[..., 4])
+    cls = jax.nn.sigmoid(flat[..., 5:])
+    score = cls * obj[..., None]                                   # [B, D, nc]
+    ok = (obj[..., None] >= conf_thr) & (cls > score_thr)
+    masked = jnp.where(ok, score, 0.0).reshape(b, -1)              # [B, D*nc]
+
+    top_scores, top_idx = jax.lax.top_k(masked, pre_topk)          # [B, K]
+    loc = top_idx // nc
+    class_id = top_idx % nc
+    valid = top_scores > 0.0
+
+    boxes = decode_boxes(
+        jnp.take_along_axis(reg, loc[..., None], axis=1),
+        priors[loc],
+        mode="yolo",
+        strides=strides[loc],
+    )                                                              # [B, K, 4]
+
+    keep = jax.vmap(nms_keep_mask, in_axes=(0, 0, 0, None, 0))(
+        boxes, top_scores, valid, iou_thr, class_id)
+    idx, out_valid = jax.vmap(topk_by_score, in_axes=(0, 0, None))(top_scores, keep, out_topk)
+    gather = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    out_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    return out_boxes, gather(top_scores), gather(class_id), out_valid
+
+
+def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
+                 num_classes=1, out_topk=100):
+    """uint8 BGR frames -> final detections, one jitted graph.
+
+    Mirrors YOLOv3.forward (yolo.py:139-147): keep-ratio resize to 608 max
+    side, /255 normalization, RGB order, zero-pad to /32 canvas, forward,
+    postprocess, rescale boxes to original frame coordinates.
+    """
+    h, w = frames_u8.shape[1:3]
+    nh, nw = resized_hw
+    x = frames_u8[..., ::-1].astype(jnp.float32)  # BGR -> RGB
+    x = bilinear_resize(x, (nh, nw)) / 255.0
+    x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
+    maps = YOLOv3(num_classes).apply({"params": params}, x)
+    boxes, scores, classes, valid = postprocess(
+        maps, priors, strides, num_classes, out_topk=out_topk)
+    scale = jnp.asarray([w / nw, h / nh, w / nw, h / nh], jnp.float32)
+    return boxes * scale, scores, classes, valid
+
+
+def resized_shape(h, w, max_side=608):
+    scl = min(max_side / min(h, w), max_side / max(h, w))
+    return int(h * scl + 0.5), int(w * scl + 0.5)
+
+
+def canvas_shape(nh, nw, mult=32):
+    return (-(-nh // mult) * mult, -(-nw // mult) * mult)
+
+
+def torch_spec(num_classes=1):
+    """Ordered checkpoint spec matching the torch reference's registration
+    order (detectors/yolo.py:34-120): Darknet53, neck, head (bridges then
+    preds). Used by tools/convert_weights.py for the positional .pt remap."""
+    from ..utils import weights as W
+
+    els = []
+    els += W.convunit("backbone/conv1")
+    for i, n in enumerate([1, 2, 8, 8, 4]):
+        els += W.convunit(f"backbone/stage{i}_down")
+        for j in range(n):
+            els += W.convunit(f"backbone/stage{i}_res{j}/conv1")
+            els += W.convunit(f"backbone/stage{i}_res{j}/conv2")
+    for block, cv in [("detect1", "conv1"), ("detect2", "conv2"), ("detect3", None)]:
+        for c in range(5):
+            els += W.convunit(f"neck/{block}/c{c}")
+        if cv:
+            els += W.convunit(f"neck/{cv}")
+    for i in range(3):
+        els += W.convunit(f"head/bridge{i}")
+    for i in range(3):
+        els.append(W.conv(f"head/pred{i}", bias=True))
+    return els
