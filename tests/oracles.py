@@ -115,3 +115,56 @@ def np_bilinear_resize(x, out_hw):
     top = a * (1 - wx)[None, :, None] + b * wx[None, :, None]
     bot = c * (1 - wx)[None, :, None] + d * wx[None, :, None]
     return top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+
+
+def np_adjust_box_single(box, img_size, scale, square):
+    """Scalar oracle for the scale+square box adjustment semantics
+    (reference detection.py:226-260), written independently per the contract."""
+    import math
+
+    h_img, w_img = img_size
+    sx1, sx2, sy1, sy2 = scale
+    x1, y1, x2, y2 = box
+    w, hh = x2 - x1, y2 - y1
+    xc, yc = x1 + w / 2, y1 + hh / 2
+    x1 = int(math.floor(max(0, xc - sx1 * w / 2)))
+    x2 = int(math.ceil(min(w_img, xc + sx2 * w / 2)))
+    y1 = int(math.floor(max(0, yc - sy1 * hh / 2)))
+    y2 = int(math.ceil(min(h_img, yc + sy2 * hh / 2)))
+    if not square:
+        return (x1, y1, x2, y2)
+    w, hh = x2 - x1, y2 - y1
+    if hh > w:
+        d = hh - w
+        x1 -= d // 2
+        x2 += d - d // 2
+        if x1 < 0:
+            x2 += -x1
+            x1 = 0
+            x2 = min(w_img, x2)
+        if x2 > w_img:
+            x1 -= x2 - w_img
+            x2 = w_img
+            x1 = max(0, x1)
+    elif w > hh:
+        d = w - hh
+        y1 -= d // 2
+        y2 += d - d // 2
+        if y1 < 0:
+            y2 += -y1
+            y1 = 0
+            y2 = min(h_img, y2)
+        if y2 > h_img:
+            y1 -= y2 - h_img
+            y2 = h_img
+            y1 = max(0, y1)
+    w, hh = x2 - x1, y2 - y1
+    if w > h_img:
+        d = w - h_img
+        x1 += d // 2
+        x2 -= d - d // 2
+    elif hh > w_img:
+        d = hh - w_img
+        y1 += d // 2
+        y2 -= d - d // 2
+    return (x1, y1, x2, y2)

@@ -1,0 +1,35 @@
+"""Asynchronous image writer: JPEG encode + disk IO off the critical path.
+
+The reference writes each face synchronously inside the batch loop
+(detection.py:155-156); here a small thread pool absorbs the writes (cv2
+releases the GIL during imencode/imwrite) so the detection loop never blocks
+on disk.
+"""
+
+from concurrent.futures import ThreadPoolExecutor
+
+import cv2
+
+
+class AsyncImageWriter:
+    def __init__(self, workers=4):
+        self.pool = ThreadPoolExecutor(max_workers=workers)
+        self.pending = []
+
+    def write(self, path, img):
+        self.pending.append(self.pool.submit(cv2.imwrite, path, img))
+
+    def flush(self):
+        for f in self.pending:
+            f.result()
+        self.pending.clear()
+
+    def close(self):
+        self.flush()
+        self.pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

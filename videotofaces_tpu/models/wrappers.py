@@ -1,0 +1,85 @@
+"""User-facing model wrappers: hold params, manage jit caches per input bucket,
+and expose the reference's callable API (list of BGR numpy frames in, per-image
+numpy detections/embeddings out).
+
+Weights resolution: converted .npz checkpoints from <repo>/weights (see
+tools/convert_weights.py). When a checkpoint is absent (e.g. offline/CI), the
+wrapper falls back to seeded random initialization with a loud note — every
+compute path still runs identically, only the predictions are untrained.
+"""
+
+import os.path as osp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import weights as W
+from . import yolo as Y
+
+
+def _resolve_params(model, example, checkpoint):
+    path = osp.join(W.weights_dir(), checkpoint + ".npz")
+    variables = model.init(jax.random.PRNGKey(0), example)
+    if osp.isfile(path):
+        print("Using weights from: " + path)
+        return W.load_params(path, expected=variables["params"])
+    print("NOTE: no converted weights at %s — using seeded random init "
+          "(run tools/convert_weights.py with the torch checkpoint for real weights)" % path)
+    return variables["params"]
+
+
+def pad_batch(frames, batch_size):
+    """Stack a list of same-shape frames, padding to ``batch_size`` by repeating
+    the last frame (results for the padding are dropped)."""
+    n = len(frames)
+    arr = np.stack(frames)
+    if n < batch_size:
+        pad = np.repeat(arr[-1:], batch_size - n, axis=0)
+        arr = np.concatenate([arr, pad])
+    return arr, n
+
+
+class YoloDetector:
+    """Live-action face detector; reference API parity with RealYOLO
+    (yolo.py:179-191): __call__(list of BGR frames) -> (boxes, scores, classes)
+    as per-image numpy lists."""
+
+    def __init__(self, device=None, checkpoint="yolov3_wider", max_side=608,
+                 batch_size=None, params=None):
+        print("Initializing YOLOv3 model for live-action face detection")
+        del device  # jax manages placement
+        self.model = Y.YOLOv3(num_classes=1)
+        self.max_side = max_side
+        self.batch_size = batch_size
+        if params is None:
+            params = _resolve_params(self.model, jnp.zeros((1, 64, 64, 3)), checkpoint)
+        self.params = params
+        self._cache = {}
+
+    def _compiled(self, b, h, w):
+        key = (b, h, w)
+        if key not in self._cache:
+            nh, nw = Y.resized_shape(h, w, self.max_side)
+            canvas = Y.canvas_shape(nh, nw)
+            priors, strides = Y.flat_priors_and_strides(canvas)
+            fn = jax.jit(partial(
+                Y.full_forward,
+                resized_hw=(nh, nw), canvas_hw=canvas,
+                priors=jnp.asarray(priors), strides=jnp.asarray(strides)))
+            self._cache[key] = fn
+        return self._cache[key]
+
+    def __call__(self, frames):
+        bs = self.batch_size or len(frames)
+        arr, n = pad_batch(list(frames), bs)
+        fn = self._compiled(*arr.shape[:3])
+        boxes, scores, classes, valid = jax.device_get(fn(self.params, jnp.asarray(arr)))
+        out_b, out_s, out_c = [], [], []
+        for i in range(n):
+            v = valid[i]
+            out_b.append(boxes[i][v])
+            out_s.append(scores[i][v])
+            out_c.append(classes[i][v])
+        return out_b, out_s, out_c
