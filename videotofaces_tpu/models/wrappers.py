@@ -83,3 +83,68 @@ class YoloDetector:
             out_s.append(scores[i][v])
             out_c.append(classes[i][v])
         return out_b, out_s, out_c
+
+
+class _Encoder:
+    """Shared encoder wrapper: host resize to the model's square input (the
+    cv2.blobFromImages resize), device normalize + forward, padded batches."""
+
+    def __init__(self, model, checkpoint, input_size, preprocess, params=None,
+                 batch_size=None):
+        self.model = model
+        self.input_size = input_size
+        self.preprocess = preprocess
+        self.batch_size = batch_size
+        if params is None:
+            params = _resolve_params(model, jnp.zeros((1, input_size, input_size, 3)),
+                                     checkpoint)
+        self.params = params
+        self._fn_cache = {}
+
+    def _compiled(self, b):
+        if b not in self._fn_cache:
+            prep = self.preprocess
+
+            def fwd(params, u8_bgr):
+                x = prep(u8_bgr[..., ::-1])  # BGR -> RGB, affine normalize
+                return self.model.apply({"params": params}, x)
+
+            self._fn_cache[b] = jax.jit(fwd)
+        return self._fn_cache[b]
+
+    def __call__(self, images):
+        import cv2
+
+        s = self.input_size
+        blobs = [cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+                 for img in images]
+        bs = self.batch_size or len(blobs)
+        arr, n = pad_batch(blobs, bs)
+        out = self._compiled(arr.shape[0])(self.params, jnp.asarray(arr))
+        return np.asarray(jax.device_get(out))[:n]
+
+
+class FaceNetEncoder(_Encoder):
+    """Live-action face embedder; parity with FaceNet (facenet.py:157-183)."""
+
+    def __init__(self, device=None, casia=False, **kw):
+        from . import facenet as FN
+
+        src = "casia" if casia else "vgg"
+        print("Initializing FaceNet %s model for live-action face encoding" % src.upper())
+        del device
+        super().__init__(FN.InceptionResnetV1(), "facenet_" + src, 160,
+                         FN.preprocess_uint8, **kw)
+
+
+class VitEncoder(_Encoder):
+    """Anime face embedder; parity with AnimeVIT (vit.py:105-146)."""
+
+    def __init__(self, device=None, large=False, **kw):
+        from . import vit as V
+
+        src = "L16" if large else "B16"
+        print("Initializing ViT %s model for anime face encoding" % src)
+        del device
+        super().__init__(V.vit_l16() if large else V.vit_b16(),
+                         "vit_anime_" + src.lower(), 128, V.preprocess_uint8, **kw)

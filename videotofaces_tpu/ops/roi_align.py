@@ -1,0 +1,151 @@
+"""Multilevel RoIAlign as separable interpolation matmuls (MXU), exact
+w.r.t. torchvision.ops.roi_align(sampling_ratio=0, aligned=True).
+
+The reference calls the torchvision CUDA kernel per FPN level with a python
+scatter (operations/roi.py:19-33). TPU redesign:
+
+bilinear sampling averaged over the adaptive k x k grid is SEPARABLE: the
+pooled value of bin (i, j) is  sum_r sum_s Wy[i, r] * Wx[j, s] * F[r, s, :],
+where Wy/Wx are per-roi 1D weight vectors (average of k hat functions with
+torchvision's edge-clamping rules). So each roi needs:
+
+1. its FPN level (Eq.1 of the FPN paper, operations/roi.py:7-16),
+2. a [window, window] feature patch dynamically gathered around the roi from
+   that level (all levels flattened into one padded buffer),
+3. two small matmuls: [7, P] @ [P, P, C] @ [P, 7] -> [7, 7, C].
+
+The adaptive sample count k = ceil(roi_size/7) enters only the (cheap) weight
+computation — gather cost is independent of k, unlike a direct translation.
+
+``window`` bounds the roi span in feature units (56 covers every roi the
+(800, 1333) canvas can produce on its assigned level, except degenerate
+aspect-ratio > 4 proposals on P2/P3 whose edge weights then fall outside and
+contribute zero).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import config
+
+
+def assign_fpn_levels(boxes, num_levels=4, canonical=224.0, base_level=2):
+    """FPN level index in [0, num_levels): floor(4 + log2(sqrt(wh)/224)),
+    clamped (operations/roi.py:7-16)."""
+    ws = boxes[..., 2] - boxes[..., 0]
+    hs = boxes[..., 3] - boxes[..., 1]
+    k = 4.0 + jnp.log2(jnp.maximum(jnp.sqrt(ws * hs), 1e-6) / canonical)
+    k = jnp.clip(k, base_level, base_level + num_levels - 1)
+    return (k - base_level).astype(jnp.int32)
+
+
+def _axis_weights(c1, c2, true_size, k, window_start, window, out_size=7, k_max=8):
+    """Per-roi 1D pooling weights for one axis.
+
+    c1/c2: roi start/end in feature coords (already * scale - 0.5, aligned).
+    true_size: unpadded feature extent H (python int).
+    k: [R] adaptive samples per bin. window_start: [R] first patch row.
+    Returns [R, out_size, window] float32.
+    """
+    roi = c2 - c1                                   # [R]
+    bin_size = roi / out_size
+    kf = jnp.maximum(k.astype(jnp.float32), 1.0)
+    j = jnp.arange(k_max, dtype=jnp.float32)        # sample index within a bin
+    i = jnp.arange(out_size, dtype=jnp.float32)     # bin index
+    # sample coords: y = c1 + i*bin + (j+0.5)*bin/k   -> [R, out, k_max]
+    y = (c1[:, None, None] + i[None, :, None] * bin_size[:, None, None]
+         + (j[None, None, :] + 0.5) * (bin_size / kf)[:, None, None])
+    sample_ok = (j[None, None, :] < k[:, None, None]) & (y >= -1.0) & (y <= true_size)
+    y = jnp.clip(y, 0.0, None)
+    y_low = jnp.floor(y)
+    at_edge = y_low >= true_size - 1
+    y_low = jnp.where(at_edge, float(true_size - 1), y_low)
+    frac = jnp.where(at_edge, 0.0, y - y_low)       # ly; weight 1-frac to y_low, frac to y_low+1
+
+    r = jnp.arange(window, dtype=jnp.float32)[None, None, None, :]  # patch-local rows
+    abs_r = window_start[:, None, None, None].astype(jnp.float32) + r
+    w_low = jnp.where(abs_r == y_low[..., None], 1.0 - frac[..., None], 0.0)
+    w_high = jnp.where(abs_r == y_low[..., None] + 1.0, frac[..., None], 0.0)
+    w = (w_low + w_high) * sample_ok[..., None].astype(jnp.float32)
+    return jnp.sum(w, axis=2) / kf[:, None, None]   # [R, out, window]
+
+
+def roi_align_multilevel(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
+                         window=56, chunk=64):
+    """fmaps: list of [H_l, W_l, C] (ONE image; vmap over the batch).
+    boxes: [R, 4] in input-pixel coords. Returns [R, out, out, C].
+    """
+    c = fmaps[0].shape[-1]
+    num_levels = len(fmaps)
+    true_sizes = [(f.shape[0], f.shape[1]) for f in fmaps]
+
+    # flatten levels into one padded row-major buffer
+    padded, offsets, pad_ws = [], [], []
+    off = 0
+    for f in fmaps:
+        ph = max(f.shape[0], window)
+        pw = max(f.shape[1], window)
+        padded.append(jnp.pad(f, ((0, ph - f.shape[0]), (0, pw - f.shape[1]), (0, 0)))
+                      .reshape(ph * pw, c))
+        offsets.append(off)
+        pad_ws.append(pw)
+        off += ph * pw
+    flat = jnp.concatenate(padded, axis=0)
+
+    levels = assign_fpn_levels(boxes, num_levels)                      # [R]
+    stride_arr = jnp.asarray(strides, jnp.float32)[levels]             # [R]
+    scale = 1.0 / stride_arr
+    x1 = boxes[:, 0] * scale - 0.5
+    y1 = boxes[:, 1] * scale - 0.5
+    x2 = boxes[:, 2] * scale - 0.5
+    y2 = boxes[:, 3] * scale - 0.5
+    kh = jnp.ceil(jnp.maximum(y2 - y1, 0.0) / out_size).astype(jnp.int32)
+    kw = jnp.ceil(jnp.maximum(x2 - x1, 0.0) / out_size).astype(jnp.int32)
+
+    hs = jnp.asarray([s[0] for s in true_sizes], jnp.float32)[levels]
+    ws = jnp.asarray([s[1] for s in true_sizes], jnp.float32)[levels]
+    phs = jnp.asarray([max(s[0], window) for s in true_sizes], jnp.int32)[levels]
+    pws = jnp.asarray([max(s[1], window) for s in true_sizes], jnp.int32)[levels]
+    off_arr = jnp.asarray(offsets, jnp.int32)[levels]
+    padw_arr = jnp.asarray(pad_ws, jnp.int32)[levels]
+
+    def win_start(c1, extent_padded):
+        s = jnp.floor(c1).astype(jnp.int32) - 1
+        return jnp.clip(s, 0, jnp.maximum(extent_padded - window, 0))
+
+    r0 = win_start(y1, phs)                                            # [R]
+    c0 = win_start(x1, pws)
+
+    # weights need per-roi true sizes: compute per level then select (sizes are
+    # python ints inside _axis_weights; 4 levels -> 4 cheap vectorized passes)
+    wy = jnp.zeros((boxes.shape[0], out_size, window), jnp.float32)
+    wx = jnp.zeros_like(wy)
+    for lv in range(num_levels):
+        sel = (levels == lv)[:, None, None].astype(jnp.float32)
+        wy = wy + sel * _axis_weights(y1, y2, true_sizes[lv][0], kh, r0, window, out_size)
+        wx = wx + sel * _axis_weights(x1, x2, true_sizes[lv][1], kw, c0, window, out_size)
+
+    rows = jnp.arange(window, dtype=jnp.int32)
+    prec = config.get_precision()
+
+    def process(chunk_data):
+        off_c, padw_c, r0_c, c0_c, wy_c, wx_c = chunk_data
+        # global flat indices of the [window, window] patch
+        gy = (r0_c[:, None] + rows[None, :])                            # [r, P]
+        gx = (c0_c[:, None] + rows[None, :])
+        idx = off_c[:, None, None] + gy[:, :, None] * padw_c[:, None, None] + gx[:, None, :]
+        patch = flat[idx.reshape(-1)].reshape(idx.shape + (c,))        # [r, P, P, C]
+        t = jnp.einsum("rbp,rpqc->rbqc", wy_c, patch, precision=prec)
+        return jnp.einsum("rdq,rbqc->rbdc", wx_c, t, precision=prec)
+
+    n = boxes.shape[0]
+    pad_to = -(-n // chunk) * chunk
+    def pad(a):
+        return jnp.pad(a, [(0, pad_to - n)] + [(0, 0)] * (a.ndim - 1))
+
+    data = tuple(pad(a).reshape((pad_to // chunk, chunk) + a.shape[1:])
+                 for a in (off_arr, padw_arr, r0, c0, wy, wx))
+    out = lax.map(process, data)                                       # [n_chunks, chunk, 7, 7, C]
+    return out.reshape(pad_to, out_size, out_size, c)[:n]

@@ -43,6 +43,11 @@ def linear(path, bias=True):
     return ("linear", path, bias)
 
 
+def ln(path):
+    """torch LayerNorm: weight, bias -> scale, bias."""
+    return ("ln", path)
+
+
 def param(path, transform=None):
     """A raw tensor copied as-is (or via ``transform``)."""
     return ("param", path, transform)
@@ -106,6 +111,10 @@ def convert_state(spec, tensors, strict=True):
             flat[f"{path}/kernel"] = np.ascontiguousarray(w.T)
             if has_bias:
                 flat[f"{path}/bias"] = src.next()
+        elif kind == "ln":
+            _, path = el
+            flat[f"{path}/scale"] = src.next()
+            flat[f"{path}/bias"] = src.next()
         elif kind == "param":
             _, path, transform = el
             t = src.next()
