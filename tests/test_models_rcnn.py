@@ -1,0 +1,117 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from videotofaces_tpu.models import rcnn as R
+from videotofaces_tpu.ops.anchors import get_priors
+
+import oracles
+
+
+def test_upsample_nearest_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    for (h, w, oh, ow) in [(13, 21, 25, 42), (7, 7, 14, 14), (10, 16, 19, 33)]:
+        x = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+        got = np.asarray(R._upsample_nearest(jnp.asarray(x), (oh, ow)))
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.interpolate(t, size=(oh, ow), mode="nearest").permute(0, 2, 3, 1).numpy()
+        np.testing.assert_array_equal(got, want)
+
+
+def np_rpn_oracle(regs, logs, priors, used_hw, lvtop, out_top, iou_thr=0.7):
+    """Reference RPN semantics (rcnn.py:49-82) in numpy, per image."""
+    b = regs[0].shape[0]
+    results = []
+    for i in range(b):
+        all_boxes, all_obj, all_lv = [], [], []
+        for lv in range(len(regs)):
+            log = logs[lv][i]
+            k = min(lvtop, log.shape[0])
+            top = np.argsort(-log, kind="stable")[:k]
+            boxes = oracles.np_decode_rcnn(regs[lv][i][top], priors[lv][top])
+            all_boxes.append(boxes)
+            all_obj.append(1 / (1 + np.exp(-log[top])))
+            all_lv.append(np.full(k, lv))
+        boxes = np.concatenate(all_boxes)
+        obj = np.concatenate(all_obj)
+        lvid = np.concatenate(all_lv)
+        h, w = used_hw[i]
+        boxes = boxes.clip(0, [w, h, w, h])
+        mask = (boxes[:, 2] - boxes[:, 0] > 0) & (boxes[:, 3] - boxes[:, 1] > 0)
+        boxes, obj, lvid = boxes[mask], obj[mask], lvid[mask]
+        keep = oracles.np_greedy_nms(boxes, obj, iou_thr, group_ids=lvid)[:out_top]
+        results.append((boxes[keep], obj[keep]))
+    return results
+
+
+def test_rpn_proposals_match_oracle(rng):
+    canvas = (64, 96)
+    priors = get_priors(canvas, R.frcnn_bases(), loc="corner", concat=False)
+    b = 2
+    regs, logs = [], []
+    for p in priors:
+        d = p.shape[0]
+        regs.append(rng.normal(0, 0.2, size=(b, d, 4)).astype(np.float32))
+        logs.append(rng.normal(-1, 1.5, size=(b, d)).astype(np.float32))
+    used = np.asarray([[60.0, 96.0], [64.0, 90.0]], np.float32)
+
+    got_boxes, got_valid = jax.jit(
+        lambda rg, lg: R.rpn_proposals(rg, lg, [jnp.asarray(p) for p in priors],
+                                       jnp.asarray(used), lvtop=50, out_top=40)
+    )([jnp.asarray(r) for r in regs], [jnp.asarray(l) for l in logs])
+
+    want = np_rpn_oracle(regs, logs, priors, used, lvtop=50, out_top=40)
+    for i in range(b):
+        v = np.asarray(got_valid[i])
+        wb, wo = want[i]
+        assert v.sum() == len(wb)
+        np.testing.assert_allclose(np.asarray(got_boxes[i])[v], wb, rtol=1e-3, atol=5e-3)
+
+
+def test_frcnn_full_forward_smoke(rng):
+    from videotofaces_tpu.models.wrappers import FrcnnDetector
+
+    body = R.FasterRCNN(1)
+    head = R.RoIHead(1)
+    params = {
+        "body": body.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))["params"],
+        "head": head.init(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))["params"],
+    }
+    det = FrcnnDetector(params=params)
+    det.R.resized_shape = lambda h, w, rmin=64, rmax=96: (
+        int(h * min(rmin / min(h, w), rmax / max(h, w)) + 0.5),
+        int(w * min(rmin / min(h, w), rmax / max(h, w)) + 0.5))
+    frames = [rng.integers(0, 255, size=(48, 72, 3)).astype(np.uint8) for _ in range(2)]
+    b, s, c = det(frames)
+    assert len(b) == 2 and all(x.shape[1] == 4 for x in b)
+
+
+def test_rcnn_spec_structure():
+    from videotofaces_tpu.utils import weights as W
+
+    body = R.FasterRCNN(1)
+    head = R.RoIHead(1)
+    bp = body.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))["params"]
+    hp = head.init(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))["params"]
+    body_spec, head_spec = R.torch_spec()
+
+    def paths_of(spec):
+        out = set()
+        for el in spec:
+            kind, path = el[0], el[1]
+            if kind == "conv":
+                out.add(f"{path}/kernel")
+                if el[2]:
+                    out.add(f"{path}/bias")
+            elif kind == "bn":
+                out |= {f"{path}/{s}" for s in ("scale", "bias", "mean", "var")}
+            elif kind in ("linear", "linear_reshaped"):
+                out.add(f"{path}/kernel")
+                if el[-1]:
+                    out.add(f"{path}/bias")
+        return out
+
+    assert paths_of(body_spec) == set(W.flatten(jax.tree.map(np.asarray, bp)))
+    assert paths_of(head_spec) == set(W.flatten(jax.tree.map(np.asarray, hp)))

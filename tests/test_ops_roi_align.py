@@ -1,0 +1,85 @@
+import numpy as np
+import jax.numpy as jnp
+
+from videotofaces_tpu.ops import roi_align as RA
+
+
+def np_roi_align_single(fmap, box, stride, out=7):
+    """Scalar oracle for roi_align(sampling_ratio=0, aligned=True) per the
+    published algorithm (Mask R-CNN paper + torchvision docs)."""
+    h, w, c = fmap.shape
+    scale = 1.0 / stride
+    x1 = box[0] * scale - 0.5
+    y1 = box[1] * scale - 0.5
+    x2 = box[2] * scale - 0.5
+    y2 = box[3] * scale - 0.5
+    roi_h, roi_w = y2 - y1, x2 - x1
+    bin_h, bin_w = roi_h / out, roi_w / out
+    kh = max(int(np.ceil(roi_h / out)), 1) if roi_h > 0 else 1
+    kw = max(int(np.ceil(roi_w / out)), 1) if roi_w > 0 else 1
+
+    def bilinear(y, x):
+        if y < -1.0 or y > h or x < -1.0 or x > w:
+            return np.zeros(c)
+        y, x = max(y, 0.0), max(x, 0.0)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        if y0 >= h - 1:
+            y0 = y1_ = h - 1
+            ly = 0.0
+        else:
+            y1_ = y0 + 1
+            ly = y - y0
+        if x0 >= w - 1:
+            x0 = x1_ = w - 1
+            lx = 0.0
+        else:
+            x1_ = x0 + 1
+            lx = x - x0
+        return ((1 - ly) * (1 - lx) * fmap[y0, x0] + (1 - ly) * lx * fmap[y0, x1_]
+                + ly * (1 - lx) * fmap[y1_, x0] + ly * lx * fmap[y1_, x1_])
+
+    res = np.zeros((out, out, c))
+    for i in range(out):
+        for j in range(out):
+            acc = np.zeros(c)
+            for sy in range(kh):
+                for sx in range(kw):
+                    y = y1 + i * bin_h + (sy + 0.5) * bin_h / kh
+                    x = x1 + j * bin_w + (sx + 0.5) * bin_w / kw
+                    acc += bilinear(y, x)
+            res[i, j] = acc / (kh * kw)
+    return res
+
+
+def test_roi_align_matches_oracle(rng):
+    strides = (4, 8, 16, 32)
+    sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]  # 256x384 input
+    fmaps = [rng.normal(size=(h, w, 8)).astype(np.float32) for (h, w) in sizes]
+
+    boxes = np.asarray([
+        [10.0, 12.0, 90.0, 100.0],     # sqrt(wh)~84 -> P2
+        [4.0, 4.0, 180.0, 160.0],      # ~166 -> P3
+        [0.0, 0.0, 256.0, 256.0],      # 256 -> P4
+        [0.0, 0.0, 383.0, 255.0],      # ~313 -> P4 (clamp would need >448 for P5)
+        [2.5, 3.5, 20.25, 17.75],      # small, fractional coords
+        [100.0, 50.0, 101.0, 51.0],    # tiny 1px
+    ], dtype=np.float32)
+
+    got = np.asarray(RA.roi_align_multilevel(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(boxes), strides, window=56, chunk=4))
+
+    lv = np.asarray(RA.assign_fpn_levels(jnp.asarray(boxes)))
+    for i, box in enumerate(boxes):
+        want = np_roi_align_single(fmaps[lv[i]], box, strides[lv[i]])
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"roi {i} level {lv[i]}")
+
+
+def test_roi_align_degenerate_box():
+    fmaps = [np.zeros((56, 56, 4), np.float32) for _ in range(4)]
+    fmaps[0][:] = 1.0
+    boxes = np.asarray([[50.0, 50.0, 50.0, 50.0]], dtype=np.float32)  # zero-size
+    got = np.asarray(RA.roi_align_multilevel([jnp.asarray(f) for f in fmaps],
+                                             jnp.asarray(boxes), chunk=1))
+    assert got.shape == (1, 7, 7, 4)
+    assert np.isfinite(got).all()

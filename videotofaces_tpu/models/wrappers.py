@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.anchors import get_priors
 from ..utils import weights as W
 from . import yolo as Y
 
@@ -148,3 +149,59 @@ class VitEncoder(_Encoder):
         del device
         super().__init__(V.vit_l16() if large else V.vit_b16(),
                          "vit_anime_" + src.lower(), 128, V.preprocess_uint8, **kw)
+
+
+class FrcnnDetector:
+    """Anime face detector; reference API parity with AnimeFRCNN
+    (rcnn.py:154-177): __call__(list of BGR frames) -> (boxes, scores, classes)."""
+
+    def __init__(self, device=None, checkpoint="frcnn_anime", batch_size=None,
+                 params=None):
+        from . import rcnn as R
+
+        print("Initializing FasterRCNN model for anime face detection")
+        del device
+        self.R = R
+        self.batch_size = batch_size
+        if params is None:
+            import os.path as osp
+
+            path = osp.join(W.weights_dir(), checkpoint + ".npz")
+            body = R.FasterRCNN(1)
+            head = R.RoIHead(1)
+            body_vars = body.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            head_vars = head.init(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))
+            expected = {"body": body_vars["params"], "head": head_vars["params"]}
+            if osp.isfile(path):
+                print("Using weights from: " + path)
+                params = W.load_params(path, expected=expected)
+            else:
+                print("NOTE: no converted weights at %s — using seeded random init" % path)
+                params = expected
+        self.params = params
+        self._cache = {}
+
+    def _compiled(self, b, h, w):
+        key = (b, h, w)
+        if key not in self._cache:
+            R = self.R
+            nh, nw = R.resized_shape(h, w)
+            canvas = R.canvas_shape(nh, nw)
+            priors = get_priors(canvas, R.frcnn_bases(), loc="corner", concat=False)
+            fn = jax.jit(lambda p, f: R.full_forward(
+                p, f, (nh, nw), canvas, [jnp.asarray(x) for x in priors]))
+            self._cache[key] = fn
+        return self._cache[key]
+
+    def __call__(self, frames):
+        bs = self.batch_size or len(frames)
+        arr, n = pad_batch(list(frames), bs)
+        fn = self._compiled(*arr.shape[:3])
+        boxes, scores, classes, valid = jax.device_get(fn(self.params, jnp.asarray(arr)))
+        out_b, out_s, out_c = [], [], []
+        for i in range(n):
+            v = valid[i]
+            out_b.append(boxes[i][v])
+            out_s.append(scores[i][v])
+            out_c.append(classes[i][v])
+        return out_b, out_s, out_c

@@ -43,6 +43,14 @@ def linear(path, bias=True):
     return ("linear", path, bias)
 
 
+def linear_reshaped(path, src_shape, perm, bias=True):
+    """torch Linear whose flattened input ordering differs from ours: weight
+    [out, prod(src_shape)] is unflattened to [out, *src_shape], the input dims
+    permuted by ``perm`` (e.g. CHW -> HWC), re-flattened, then transposed.
+    Used for FC layers that consume flattened conv maps (NCHW vs NHWC)."""
+    return ("linear_reshaped", path, tuple(src_shape), tuple(perm), bias)
+
+
 def ln(path):
     """torch LayerNorm: weight, bias -> scale, bias."""
     return ("ln", path)
@@ -109,6 +117,15 @@ def convert_state(spec, tensors, strict=True):
             _, path, has_bias = el
             w = src.next()
             flat[f"{path}/kernel"] = np.ascontiguousarray(w.T)
+            if has_bias:
+                flat[f"{path}/bias"] = src.next()
+        elif kind == "linear_reshaped":
+            _, path, src_shape, perm, has_bias = el
+            w = src.next()
+            out = w.shape[0]
+            w = w.reshape((out,) + src_shape)
+            w = np.transpose(w, (0,) + tuple(p + 1 for p in perm))
+            flat[f"{path}/kernel"] = np.ascontiguousarray(w.reshape(out, -1).T)
             if has_bias:
                 flat[f"{path}/bias"] = src.next()
         elif kind == "ln":
