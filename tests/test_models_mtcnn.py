@@ -1,0 +1,111 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from videotofaces_tpu.models import mtcnn as M
+
+import mtcnn_oracle as MO
+
+
+def _init_params(rng):
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+
+    def rnd(path, a):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        x = rng.normal(0.0, 0.25, a.shape).astype(np.float32)
+        if name.endswith("alpha"):
+            x = np.abs(x) * 0.5 + 0.1
+        # cls heads: mostly-below-threshold probabilities with a small tail above
+        if "cls" in name and name.endswith("bias"):
+            x = rng.normal(-0.4, 0.5, a.shape).astype(np.float32)
+        if "reg" in name or "lmk" in name:
+            x = x * 0.02
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map_with_path(rnd, params)
+
+
+def test_mtcnn_subnets_match_torch(rng):
+    params = _init_params(rng)
+    x24 = rng.normal(0, 0.5, size=(3, 24, 24, 3)).astype(np.float32)
+    x48 = rng.normal(0, 0.5, size=(3, 48, 48, 3)).astype(np.float32)
+    x20 = rng.normal(0, 0.5, size=(2, 20, 30, 3)).astype(np.float32)
+
+    import torch
+
+    tp = MO.TPNet(); tp.eval(); tp.load(jax.tree.map(np.asarray, params["pnet"]))
+    tr = MO.TRNet(); tr.eval(); tr.load(jax.tree.map(np.asarray, params["rnet"]))
+    to = MO.TONet(); to.eval(); to.load(jax.tree.map(np.asarray, params["onet"]))
+
+    reg, prob = M.PNet().apply({"params": params["pnet"]}, jnp.asarray(x20))
+    with torch.no_grad():
+        treg, tprob = tp(torch.from_numpy(x20.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(prob), tprob.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg), treg.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+    reg, prob = M.RNet().apply({"params": params["rnet"]}, jnp.asarray(x24))
+    with torch.no_grad():
+        treg, tprob = tr(torch.from_numpy(x24.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(prob), tprob.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(reg), treg.numpy(), rtol=1e-4, atol=1e-5)
+
+    reg, lmk, prob = M.ONet().apply({"params": params["onet"]}, jnp.asarray(x48))
+    with torch.no_grad():
+        treg, tlmk, tprob = to(torch.from_numpy(x48.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(prob), tprob.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lmk), tlmk.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_mtcnn_cascade_matches_oracle(rng):
+    params = _init_params(rng)
+    frames = rng.integers(0, 255, size=(2, 96, 128, 3)).astype(np.uint8)
+    caps = M.Caps(pre1=1024, post1=256, cross=1024, stage2=512, stage3=512, out=512)
+    fn = jax.jit(lambda p, f: M.full_forward(p, f, minsize=20, caps=caps))
+    boxes, scores, lmk, valid, counts = jax.device_get(fn(params, jnp.asarray(frames)))
+
+    tp = MO.TPNet(); tp.eval(); tp.load(jax.tree.map(np.asarray, params["pnet"]))
+    tr = MO.TRNet(); tr.eval(); tr.load(jax.tree.map(np.asarray, params["rnet"]))
+    to = MO.TONet(); to.eval(); to.load(jax.tree.map(np.asarray, params["onet"]))
+    want = MO.run_cascade(tp, tr, to, frames, minsize=20)
+
+    assert counts["stage1"].sum() > 0, "test params produced no stage-1 candidates"
+    some_output = False
+    for i in range(2):
+        v = valid[i]
+        wb, ws, wl = want[i]
+        assert v.sum() == len(wb), (i, int(v.sum()), len(wb))
+        if len(wb):
+            some_output = True
+            np.testing.assert_allclose(scores[i][v], ws, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(boxes[i][v], wb, rtol=1e-3, atol=2e-2)
+            np.testing.assert_allclose(lmk[i][v], wl, rtol=1e-3, atol=2e-2)
+    assert some_output, "oracle produced no final boxes — tune test params"
+
+
+def test_mtcnn_spec_structure():
+    from videotofaces_tpu.utils import weights as W
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    spec = M.torch_spec()
+    paths = set()
+    for el in spec:
+        kind, path = el[0], el[1]
+        if kind == "conv":
+            paths.add(f"{path}/kernel")
+            paths.add(f"{path}/bias")
+        elif kind == "linear":
+            paths.add(f"{path}/kernel")
+            paths.add(f"{path}/bias")
+        elif kind == "param":
+            paths.add(path)
+    want = set(W.flatten(jax.tree.map(np.asarray, params)))
+    assert paths == want, (sorted(paths - want)[:5], sorted(want - paths)[:5])

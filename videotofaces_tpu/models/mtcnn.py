@@ -1,0 +1,297 @@
+"""MTCNN 3-stage cascade face detector, compiled as ONE static-shape XLA graph
+per (batch, height, width, min_face_size) bucket.
+
+Architecture parity target: detectors/mtcnn.py (PNet/RNet/ONet from the
+published facenet-pytorch weights layout; pipeline semantics at
+mtcnn.py:133-252). The reference is the most dynamic model in the suite —
+a data-dependent image pyramid, six filter points, and per-box Python crop
+loops. TPU redesign:
+
+- the scale pyramid is a pure function of (H, W, minsize) -> computed on host,
+  baked into the graph; every pyramid level is an EXACT adaptive-average
+  resample done with 4 static gathers from one int32 integral image of the
+  uint8 frame (window sums are exact integers — see ops/resize.py);
+- stage 2/3 candidate crops (per-box Python loop at mtcnn.py:153-163) become
+  one batched integral-image gather each: dynamic integer windows ->
+  24x24/48x48 adaptive averages, no loops;
+- every filter/NMS point carries fixed-capacity buffers + validity masks;
+  capacities are configurable (defaults sized for 1080p, minsize 5) and the
+  true candidate counts are returned so the host can detect overflow;
+- stage 1/2 NMS uses the exact greedy fixpoint (ops/nms.py), stage 3 uses the
+  reference's IoM chain suppression, which is a pure matrix op.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.nms import iom_chain_suppress, nms_keep_mask, topk_by_score
+from ..ops.resize import adaptive_pool_boxes_batched, adaptive_pool_full, integral_image
+from .. import config
+from .layers import ConvUnit, PReLU, max_pool2d
+
+
+def _pconv(cout, k, name):
+    return ConvUnit(cout, k, 1, 0, "prelu", None, bias=True, name=name)
+
+
+class PNet(nn.Module):
+    """Fully-convolutional proposal net: 12x12 receptive field, stride 2."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = _pconv(10, 3, "conv1")(x)
+        x = max_pool2d(x, 2, 2, ceil_mode=True)
+        x = _pconv(16, 3, "conv2")(x)
+        x = _pconv(32, 3, "conv3")(x)
+        prec = config.get_precision()
+        prob = jax.nn.softmax(nn.Conv(2, (1, 1), precision=prec, name="cls")(x), axis=-1)[..., 1]
+        reg = nn.Conv(4, (1, 1), precision=prec, name="reg")(x)
+        return reg, prob
+
+
+def _flatten_whc(x):
+    """torch's permute(0, 3, 2, 1)+flatten (mtcnn.py:68): (w, h, c) ordering."""
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(x.shape[0], -1)
+
+
+class RNet(nn.Module):
+    """24x24 refinement net."""
+
+    @nn.compact
+    def __call__(self, x):
+        prec = config.get_precision()
+        x = _pconv(28, 3, "conv1")(x)
+        x = max_pool2d(x, 3, 2, ceil_mode=True)
+        x = _pconv(48, 3, "conv2")(x)
+        x = max_pool2d(x, 3, 2, ceil_mode=True)
+        x = _pconv(64, 2, "conv3")(x)
+        x = _flatten_whc(x)
+        x = nn.Dense(128, precision=prec, name="dense4")(x)
+        x = PReLU(128, name="prelu4")(x)
+        prob = jax.nn.softmax(nn.Dense(2, precision=prec, name="cls")(x), axis=-1)[..., 1]
+        reg = nn.Dense(4, precision=prec, name="reg")(x)
+        return reg, prob
+
+
+class ONet(nn.Module):
+    """48x48 output net with landmark head."""
+
+    @nn.compact
+    def __call__(self, x):
+        prec = config.get_precision()
+        x = _pconv(32, 3, "conv1")(x)
+        x = max_pool2d(x, 3, 2, ceil_mode=True)
+        x = _pconv(64, 3, "conv2")(x)
+        x = max_pool2d(x, 3, 2, ceil_mode=True)
+        x = _pconv(64, 3, "conv3")(x)
+        x = max_pool2d(x, 2, 2, ceil_mode=True)
+        x = _pconv(128, 2, "conv4")(x)
+        x = _flatten_whc(x)
+        x = nn.Dense(256, precision=prec, name="dense5")(x)
+        x = PReLU(256, name="prelu5")(x)
+        prob = jax.nn.softmax(nn.Dense(2, precision=prec, name="cls")(x), axis=-1)[..., 1]
+        reg = nn.Dense(4, precision=prec, name="reg")(x)
+        lmk = nn.Dense(10, precision=prec, name="lmk")(x)
+        return reg, lmk, prob
+
+
+@dataclass(frozen=True)
+class Caps:
+    """Fixed buffer capacities for the cascade (per image)."""
+
+    pre1: int = 4096     # stage-1 pre-NMS candidates per scale
+    post1: int = 512     # stage-1 post-NMS keeps per scale
+    cross: int = 2048    # cross-scale NMS input
+    stage2: int = 1024   # RNet candidates
+    stage3: int = 256    # ONet candidates
+    out: int = 128       # final detections
+
+
+def scale_pyramid(h, w, minsize, factor=0.709):
+    """Host: geometric scale list and resampled sizes (mtcnn.py:141-148)."""
+    scales = []
+    s = 12.0 / minsize
+    while min(h, w) * s >= 12:
+        scales.append(s)
+        s *= factor
+    sizes = [(int(h * sc + 1), int(w * sc + 1)) for sc in scales]
+    return scales, sizes
+
+
+def refine_bbox(boxes, pred, plus_one):
+    off = 1.0 if plus_one else 0.0
+    w = boxes[..., 2] - boxes[..., 0] + off
+    h = boxes[..., 3] - boxes[..., 1] + off
+    wh = jnp.stack([w, h, w, h], axis=-1)
+    return boxes + pred * wh
+
+
+def square_bbox(boxes):
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    side = jnp.maximum(w, h)
+    x1 = boxes[..., 0] + w * 0.5 - side * 0.5
+    y1 = boxes[..., 1] + h * 0.5 - side * 0.5
+    return jnp.stack([x1, y1, x1 + side, y1 + side], axis=-1)
+
+
+def _normalize(avg_u8_rgb):
+    return (avg_u8_rgb - 127.5) / 128.0
+
+
+def _crop_windows(boxes, img_hw):
+    """Integer crop windows with the reference's clamping (mtcnn.py:157-160):
+    x1 = max(1, int(x1)) ... x2 = min(W, int(x2)); window spans
+    [y1-1 : y2, x1-1 : x2]. Returns (windows [N, 4] int32, ok [N])."""
+    h, w = img_hw
+    x1 = jnp.maximum(1, boxes[..., 0].astype(jnp.int32))
+    y1 = jnp.maximum(1, boxes[..., 1].astype(jnp.int32))
+    x2 = jnp.minimum(w, boxes[..., 2].astype(jnp.int32))
+    y2 = jnp.minimum(h, boxes[..., 3].astype(jnp.int32))
+    ok = (y2 > y1 - 1) & (x2 > x1 - 1)
+    win = jnp.stack([
+        jnp.where(ok, x1 - 1, 0), jnp.where(ok, y1 - 1, 0),
+        jnp.where(ok, x2, 1), jnp.where(ok, y2, 1)], axis=-1)
+    return win, ok
+
+
+def _per_image_nms(boxes, scores, valid, thr):
+    return jax.vmap(lambda b, s, v: nms_keep_mask(b, s, v, thr))(boxes, scores, valid)
+
+
+def _select_topk(scores, keep, k, *arrays):
+    idx, valid = jax.vmap(lambda s, m: topk_by_score(s, m, k))(scores, keep)
+    outs = []
+    for a in arrays:
+        if a.ndim == 2:
+            outs.append(jnp.take_along_axis(a, idx, axis=1))
+        else:
+            outs.append(jnp.take_along_axis(a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)), axis=1))
+    return (valid, *outs)
+
+
+def full_forward(params, frames_u8, minsize=20, caps=Caps(),
+                 thresholds=(0.6, 0.7, 0.7), factor=0.709):
+    """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
+    [B, out, 5, 2], valid, counts) — counts are true candidate totals per
+    stage for host-side overflow detection."""
+    b, h, w = frames_u8.shape[:3]
+    t1, t2, t3 = thresholds
+    scales, sizes = scale_pyramid(h, w, minsize, factor)
+    ii = integral_image(frames_u8[..., ::-1])  # RGB, int32, exact
+
+    pnet = PNet()
+    counts = {}
+
+    # ---- stage 1: proposal network over the pyramid -------------------------
+    s_boxes, s_scores, s_preds, s_valid = [], [], [], []
+    total_cand = jnp.zeros((b,), jnp.int32)
+    for sc, (sh, sw) in zip(scales, sizes):
+        level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
+        reg, prob = pnet.apply({"params": params["pnet"]}, level)
+        ph, pw = prob.shape[1:3]
+        d = ph * pw
+        flat_prob = prob.reshape(b, d)
+        masked = jnp.where(flat_prob >= t1, flat_prob, 0.0)
+        total_cand = total_cand + jnp.sum(masked > 0.0, axis=1).astype(jnp.int32)
+        k1 = min(caps.pre1, d)
+        scores, idx = jax.lax.top_k(masked, k1)
+        valid = scores >= t1
+        wi = (idx % pw).astype(jnp.float32)
+        hi = (idx // pw).astype(jnp.float32)
+        boxes = jnp.stack([
+            jnp.floor((2.0 * wi + 1.0) / sc), jnp.floor((2.0 * hi + 1.0) / sc),
+            jnp.floor((2.0 * wi + 12.0) / sc), jnp.floor((2.0 * hi + 12.0) / sc),
+        ], axis=-1)                                               # [B, k1, 4]
+        preds = jnp.take_along_axis(reg.reshape(b, d, 4), idx[..., None], axis=1)
+        keep = _per_image_nms(boxes, scores, valid, 0.5)
+        k1p = min(caps.post1, k1)
+        v, boxes, scores, preds = _select_topk(scores, keep, k1p, boxes, scores, preds)
+        s_boxes.append(boxes)
+        s_scores.append(scores)
+        s_preds.append(preds)
+        s_valid.append(v)
+    counts["stage1"] = total_cand
+
+    boxes = jnp.concatenate(s_boxes, axis=1)
+    scores = jnp.concatenate(s_scores, axis=1)
+    preds = jnp.concatenate(s_preds, axis=1)
+    valid = jnp.concatenate(s_valid, axis=1)
+    if boxes.shape[1] > caps.cross:
+        valid, boxes, scores, preds = _select_topk(
+            jnp.where(valid, scores, -jnp.inf), valid, caps.cross, boxes, scores, preds)
+
+    keep = _per_image_nms(boxes, scores, valid, 0.7)
+    valid, boxes, scores, preds = _select_topk(scores, keep, min(caps.stage2, boxes.shape[1]),
+                                               boxes, scores, preds)
+    boxes = square_bbox(refine_bbox(boxes, preds, plus_one=False))
+
+    # ---- stage 2: refinement network ---------------------------------------
+    def run_subnet(module, mparams, boxes, valid, size):
+        k = boxes.shape[1]
+        win, ok = _crop_windows(boxes.reshape(b * k, 4), (h, w))
+        imgidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+        crops = _normalize(adaptive_pool_boxes_batched(ii, win, imgidx, (size, size)))
+        out = module.apply({"params": mparams}, crops)
+        return out, (valid & ok.reshape(b, k))
+
+    (reg2, prob2), valid = run_subnet(RNet(), params["rnet"], boxes, valid, 24)
+    k2 = boxes.shape[1]
+    scores = prob2.reshape(b, k2)
+    preds = reg2.reshape(b, k2, 4)
+    valid = valid & (scores > t2)
+    counts["stage2"] = jnp.sum(valid, axis=1)
+    keep = _per_image_nms(boxes, scores, valid, 0.7)
+    valid, boxes, scores, preds = _select_topk(scores, keep, min(caps.stage3, k2),
+                                               boxes, scores, preds)
+    boxes = square_bbox(refine_bbox(boxes, preds, plus_one=True))
+
+    # ---- stage 3: output network --------------------------------------------
+    (reg3, lmk3, prob3), valid = run_subnet(ONet(), params["onet"], boxes, valid, 48)
+    k3 = boxes.shape[1]
+    scores = prob3.reshape(b, k3)
+    preds = reg3.reshape(b, k3, 4)
+    lmk = lmk3.reshape(b, k3, 10)
+    valid = valid & (scores > t3)
+    counts["stage3"] = jnp.sum(valid, axis=1)
+
+    wi = boxes[..., 2] - boxes[..., 0] + 1.0
+    hi = boxes[..., 3] - boxes[..., 1] + 1.0
+    lm_x = wi[..., None] * lmk[..., :5] + boxes[..., 0:1] - 1.0
+    lm_y = hi[..., None] * lmk[..., 5:] + boxes[..., 1:2] - 1.0
+    landmarks = jnp.stack([lm_x, lm_y], axis=-1)                  # [B, k3, 5, 2]
+
+    boxes = refine_bbox(boxes, preds, plus_one=True)
+    keep = jax.vmap(lambda bb, ss, vv: iom_chain_suppress(bb, ss, vv, 0.7))(
+        boxes, scores, valid)
+    out_valid, boxes, scores, landmarks = _select_topk(
+        scores, keep, min(caps.out, k3), boxes, scores, landmarks)
+    return boxes, scores, landmarks, out_valid, counts
+
+
+def torch_spec():
+    """Checkpoint spec in the reference registration order (mtcnn.py:12-130):
+    PNet (conv1..3 + PReLUs, cls, reg), RNet (+dense4/prelu4, cls, reg),
+    ONet (+dense5/prelu5, cls, reg, landmarks)."""
+    from ..utils import weights as W
+
+    def pconv(path):
+        return [W.conv(f"{path}/conv", bias=True), W.param(f"{path}/prelu/alpha")]
+
+    els = []
+    for c in ("conv1", "conv2", "conv3"):
+        els += pconv(f"pnet/{c}")
+    els += [W.conv("pnet/cls", bias=True), W.conv("pnet/reg", bias=True)]
+    for c in ("conv1", "conv2", "conv3"):
+        els += pconv(f"rnet/{c}")
+    els += [W.linear("rnet/dense4"), W.param("rnet/prelu4/alpha"),
+            W.linear("rnet/cls"), W.linear("rnet/reg")]
+    for c in ("conv1", "conv2", "conv3", "conv4"):
+        els += pconv(f"onet/{c}")
+    els += [W.linear("onet/dense5"), W.param("onet/prelu5/alpha"),
+            W.linear("onet/cls"), W.linear("onet/reg"), W.linear("onet/lmk")]
+    return els

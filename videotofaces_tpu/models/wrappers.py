@@ -205,3 +205,63 @@ class FrcnnDetector:
             out_s.append(scores[i][v])
             out_c.append(classes[i][v])
         return out_b, out_s, out_c
+
+
+class MtcnnDetector:
+    """Live-action face detector; reference API parity with RealMTCNN
+    (mtcnn.py:312-326): __call__(list of BGR frames) -> list of [n, 5] numpy
+    arrays (x1, y1, x2, y2, score), optionally with landmarks."""
+
+    def __init__(self, device=None, min_face_size=5, checkpoint="mtcnn_joined",
+                 batch_size=None, caps=None, params=None):
+        from . import mtcnn as M
+
+        print("Initializing MTCNN model for live-action face detection")
+        del device
+        self.M = M
+        self.minsize = min_face_size
+        self.caps = caps or M.Caps()
+        self.batch_size = batch_size
+        if params is None:
+            import os.path as osp
+
+            path = osp.join(W.weights_dir(), checkpoint + ".npz")
+            expected = {
+                "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+                "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+                "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+            }
+            if osp.isfile(path):
+                print("Using weights from: " + path)
+                params = W.load_params(path, expected=expected)
+            else:
+                print("NOTE: no converted weights at %s — using seeded random init" % path)
+                params = expected
+        self.params = params
+        self._cache = {}
+
+    def _compiled(self, b, h, w):
+        key = (b, h, w)
+        if key not in self._cache:
+            M, caps, minsize = self.M, self.caps, self.minsize
+            self._cache[key] = jax.jit(
+                lambda p, f: M.full_forward(p, f, minsize=minsize, caps=caps))
+        return self._cache[key]
+
+    def __call__(self, frames, return_landmarks=False):
+        bs = self.batch_size or len(frames)
+        arr, n = pad_batch(list(frames), bs)
+        fn = self._compiled(*arr.shape[:3])
+        boxes, scores, lmk, valid, counts = jax.device_get(fn(self.params, jnp.asarray(arr)))
+        if int(np.asarray(counts["stage1"]).max()) > self.caps.pre1:
+            print("WARNING: MTCNN stage-1 candidates exceeded buffer capacity "
+                  "(%d > %d); results may drop low-scoring faces. Increase Caps.pre1."
+                  % (int(np.asarray(counts["stage1"]).max()), self.caps.pre1))
+        res, ldm = [], []
+        for i in range(n):
+            v = valid[i]
+            res.append(np.concatenate([boxes[i][v], scores[i][v][:, None]], axis=1))
+            ldm.append(lmk[i][v])
+        if return_landmarks:
+            return res, ldm
+        return res

@@ -25,6 +25,14 @@ def nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=None, plus_one=False,
     boxes [K, 4], scores [K], valid [K] bool, group_ids [K] int (optional):
     suppression only happens within the same group (torchvision batched_nms
     semantics — equivalent to independent per-group NMS).
+
+    Instead of a K-step sequential greedy loop, this solves the greedy
+    recursion  keep[i] = valid[i] and not any(j < i: keep[j] and iou > thr)
+    by FIXPOINT ITERATION: each step is one [K, K] masked reduction (VPU
+    work), and after t steps the first t score-ranks are provably correct, so
+    a while_loop with an equality check converges in O(suppression-chain
+    depth) iterations (single digits in practice) — not O(K). The recursion
+    has a unique solution, so the fixpoint IS the greedy result.
     """
     k = boxes.shape[0]
     masked = jnp.where(valid, scores, -jnp.inf)
@@ -37,14 +45,19 @@ def nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=None, plus_one=False,
         g = group_ids[order]
         same = g[:, None] == g[None, :]
     later = jnp.arange(k)[None, :] > jnp.arange(k)[:, None]
-    suppresses = (iou > iou_thr) & same & later  # [i, j]: i (if kept) kills j
+    suppresses = (iou > iou_thr) & same & later  # [j, i]: j (if kept) kills i
 
-    def body(i, supp):
-        active = v[i] & ~supp[i]
-        return jnp.where(active, supp | suppresses[i], supp)
+    def cond(state):
+        keep, prev, it = state
+        return (it < k) & jnp.any(keep != prev)
 
-    supp = lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
-    keep_sorted = v & ~supp
+    def body(state):
+        keep, _, it = state
+        killed = jnp.any(suppresses & keep[:, None], axis=0)
+        return v & ~killed, keep, it + 1
+
+    init = (v, jnp.zeros((k,), bool), jnp.int32(0))
+    keep_sorted, _, _ = lax.while_loop(cond, body, init)
     return jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
 
 

@@ -114,3 +114,53 @@ def adaptive_pool_boxes(ii, boxes_xyxy, out_size):
     ).astype(jnp.float32)
     area = ((y_end - y_start)[:, :, None] * (x_end - x_start)[:, None, :]).astype(jnp.float32)
     return total / jnp.maximum(area, 1.0)[..., None]
+
+
+def adaptive_pool_full(ii, out_hw, true_hw):
+    """Full-frame adaptive average pool with STATIC boundaries — the MTCNN
+    image-pyramid resample (mtcnn.py:150-151) as 4 static gathers from the
+    integral image. ii: [B, H+1, W+1, C]; returns [B, oh, ow, C] float32."""
+    h, w = true_hw
+    oh, ow = out_hw
+    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
+    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+    rows = jnp.take(ii, ye, axis=-3) - jnp.take(ii, ys, axis=-3)
+    sums = jnp.take(rows, xe, axis=-2) - jnp.take(rows, xs, axis=-2)
+    area = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(np.float32)
+    return sums.astype(jnp.float32) / area[..., None]
+
+
+def adaptive_pool_boxes_batched(ii, boxes_xyxy, imgidx, out_size):
+    """``adaptive_pool_boxes`` over a batch of integral images.
+
+    ii: [B, H+1, W+1, C]; boxes_xyxy: [N, 4] int32 windows; imgidx: [N] int32.
+    Returns [N, oh, ow, C] float32.
+    """
+    b, hh, ww_, c = ii.shape
+    flat = ii.reshape(b * hh * ww_, c)
+    oh, ow = out_size
+    x1, y1, x2, y2 = (boxes_xyxy[:, i] for i in range(4))
+    h = (y2 - y1)[:, None]
+    w = (x2 - x1)[:, None]
+    iy = jnp.arange(oh + 1, dtype=jnp.int32)[None, :]
+    ix = jnp.arange(ow + 1, dtype=jnp.int32)[None, :]
+
+    def bounds(c0, size, n, grid):
+        starts = c0[:, None] + (grid[:, :n] * size) // n
+        ends = c0[:, None] + -((-(grid[:, 1:] * size)) // n)
+        return starts, ends
+
+    y_start, y_end = bounds(y1, h, oh, iy)
+    x_start, x_end = bounds(x1, w, ow, ix)
+    base = (imgidx.astype(jnp.int32) * hh * ww_)[:, None, None]
+
+    def corner(yy, xx):
+        idx = base + yy[:, :, None] * ww_ + xx[:, None, :]
+        return flat[idx.reshape(-1)].reshape(idx.shape + (c,))
+
+    total = (corner(y_end, x_end) - corner(y_start, x_end)
+             - corner(y_end, x_start) + corner(y_start, x_start)).astype(jnp.float32)
+    area = ((y_end - y_start)[:, :, None] * (x_end - x_start)[:, None, :]).astype(jnp.float32)
+    return total / jnp.maximum(area, 1.0)[..., None]
