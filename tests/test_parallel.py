@@ -1,0 +1,70 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from videotofaces_tpu.parallel import make_mesh, batch_sharding
+from videotofaces_tpu.train import ViTClassifier, create_train_state, make_sharded_train_step
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_encoder_forward(rng):
+    from videotofaces_tpu.models import vit as V
+
+    mesh = make_mesh()  # 8-way data parallel
+    model = V.ViT(img_size=32, patch_size=16, dim=64, depth=2)
+    x = rng.normal(0, 1, size=(16, 32, 32, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))["params"]
+
+    fn = jax.jit(lambda p, a: model.apply({"params": p}, a),
+                 in_shardings=(None, batch_sharding(mesh)),
+                 out_shardings=batch_sharding(mesh))
+    with mesh:
+        sharded = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+        out = np.asarray(fn(params, sharded))
+    ref = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_data_parallel_detection_postprocess(rng):
+    """The fixed-capacity postprocess is embarrassingly parallel over batch."""
+    from videotofaces_tpu.models import yolo as Y
+
+    mesh = make_mesh()
+    canvas = (96, 128)
+    priors, strides = Y.flat_priors_and_strides(canvas)
+    maps = [jnp.asarray(rng.normal(-2, 1, size=(8, h, w, 18)).astype(np.float32))
+            for (h, w) in [(3, 4), (6, 8), (12, 16)]]
+    fn = jax.jit(lambda ms: Y.postprocess(ms, jnp.asarray(priors), jnp.asarray(strides),
+                                          pre_topk=256, out_topk=16),
+                 in_shardings=([batch_sharding(mesh)] * 3,))
+    with mesh:
+        sharded = [jax.device_put(m, batch_sharding(mesh)) for m in maps]
+        boxes, scores, classes, valid = fn(sharded)
+    ref_b, ref_s, _, ref_v = Y.postprocess(maps, jnp.asarray(priors), jnp.asarray(strides),
+                                           pre_topk=256, out_topk=16)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_v))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_s), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_train_step_dp_tp():
+    """Full train step over a ('data', 'model') mesh: dp=4 x tp=2."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = ViTClassifier(num_classes=5, img_size=32, patch_size=16, dim=128, depth=2)
+    params, opt_state, tx = create_train_state(model, jax.random.PRNGKey(0),
+                                               (1, 32, 32, 3), learning_rate=1e-3)
+    step, params, opt_state = make_sharded_train_step(mesh, model, tx, params, opt_state)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(0, 1, size=(8, 32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, size=(8,)).astype(np.int32))
+    with mesh:
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss, acc = step(params, opt_state, images, labels)
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[2] < losses[0]  # optimizes on a fixed batch

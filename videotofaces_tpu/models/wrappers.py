@@ -22,7 +22,7 @@ from . import yolo as Y
 
 def _resolve_params(model, example, checkpoint):
     path = osp.join(W.weights_dir(), checkpoint + ".npz")
-    variables = model.init(jax.random.PRNGKey(0), example)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
     if osp.isfile(path):
         print("Using weights from: " + path)
         return W.load_params(path, expected=variables["params"])
