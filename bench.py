@@ -13,7 +13,8 @@ import time
 import numpy as np
 
 
-def bench_detection(batch=16, iters=20, h=1080, w=1920):
+def bench_detection(batch=8, iters=20, h=1080, w=1920):
+    # batch 8 = ~50MB uint8/step; the axon dev tunnel stalls on single >~64MB transfers
     import jax
     import jax.numpy as jnp
     from videotofaces_tpu import config
@@ -70,7 +71,7 @@ def bench_embedding(batch=128, iters=20):
 def main():
     det_fps = bench_detection()
     emb_fps = bench_embedding()
-    print(f"detection: {det_fps:.1f} 1080p frames/s (YOLOv3@608, batch 16, single chip); "
+    print(f"detection: {det_fps:.1f} 1080p frames/s (YOLOv3@608, batch 8, single chip); "
           f"embedding: {emb_fps:.1f} faces/s (FaceNet@160, batch 128)", file=sys.stderr)
     print(json.dumps({
         "metric": "sampled 1080p frames/sec end-to-end (detector path, single v5e chip); "

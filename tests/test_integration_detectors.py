@@ -1,0 +1,66 @@
+"""End-to-end driver runs with the real (randomly initialized) detector
+wrappers on a tiny synthetic video — verifies wrapper/driver API contracts
+(tuple vs list outputs, batch padding, jit bucket caching) on CPU."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from videotofaces_tpu.pipeline.detection import detect_faces
+from test_pipeline_detection import _write_test_video
+
+
+def _run(model, tmp_path, det_params=None):
+    video = str(tmp_path / "clip.avi")
+    _write_test_video(video, n_frames=30, fps=10, size=(128, 96))
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    det_params = det_params or (2, 0.0, 1, 0, (1.0, 1.0, 1.0, 1.0), False)
+    save_params = (out, "", None, False, False, False)
+    paths = detect_faces([video], model, (1, None, None, "opencv"),
+                         det_params, save_params, hash_thr=None)
+    assert isinstance(paths, list)
+    return paths
+
+
+def test_yolo_wrapper_through_driver(tmp_path):
+    from videotofaces_tpu.models.wrappers import YoloDetector
+    from videotofaces_tpu.models import yolo as Y
+
+    model = Y.YOLOv3(1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    det = YoloDetector(params=params, max_side=96)
+    _run(det, tmp_path)
+    assert len(det._cache) == 1  # one jit bucket for the whole video
+
+
+def test_mtcnn_wrapper_through_driver(tmp_path):
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.models.wrappers import MtcnnDetector
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    caps = M.Caps(pre1=128, post1=32, cross=128, stage2=64, stage3=32, out=16)
+    det = MtcnnDetector(params=params, min_face_size=20, caps=caps)
+    _run(det, tmp_path)
+
+
+@pytest.mark.slow
+def test_frcnn_wrapper_through_driver(tmp_path):
+    from videotofaces_tpu.models import rcnn as R
+    from videotofaces_tpu.models.wrappers import FrcnnDetector
+
+    params = {
+        "body": jax.jit(R.FasterRCNN(1).init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))["params"],
+        "head": jax.jit(R.RoIHead(1).init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))["params"],
+    }
+    det = FrcnnDetector(params=params, resize_spec=(64, 96), proposal_cap=64, out_top=16)
+    _run(det, tmp_path)

@@ -79,10 +79,7 @@ def test_frcnn_full_forward_smoke(rng):
         "body": body.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))["params"],
         "head": head.init(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))["params"],
     }
-    det = FrcnnDetector(params=params)
-    det.R.resized_shape = lambda h, w, rmin=64, rmax=96: (
-        int(h * min(rmin / min(h, w), rmax / max(h, w)) + 0.5),
-        int(w * min(rmin / min(h, w), rmax / max(h, w)) + 0.5))
+    det = FrcnnDetector(params=params, resize_spec=(64, 96))
     frames = [rng.integers(0, 255, size=(48, 72, 3)).astype(np.uint8) for _ in range(2)]
     b, s, c = det(frames)
     assert len(b) == 2 and all(x.shape[1] == 4 for x in b)

@@ -198,7 +198,7 @@ def canvas_shape(nh, nw, mult=32):
 
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
-                 num_classes=1, out_top=100):
+                 num_classes=1, out_top=100, proposal_cap=1000):
     """uint8 BGR frames -> final detections in original-frame coordinates.
     ``params`` = {'body': FasterRCNN params, 'head': RoIHead params}."""
     h, w = frames_u8.shape[1:3]
@@ -209,7 +209,8 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
     x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
     pyramid, regs, logs = FasterRCNN(num_classes).apply({"params": params["body"]}, x)
     used = jnp.tile(jnp.asarray([[nh, nw]], jnp.float32), (x.shape[0], 1))
-    proposals, pvalid = rpn_proposals(regs, logs, priors_per_level, used)
+    proposals, pvalid = rpn_proposals(regs, logs, priors_per_level, used,
+                                      lvtop=proposal_cap, out_top=proposal_cap)
 
     def apply_head(roi_maps):
         return RoIHead(num_classes).apply({"params": params["head"]}, roi_maps)

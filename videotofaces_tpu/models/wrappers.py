@@ -31,6 +31,25 @@ def _resolve_params(model, example, checkpoint):
     return variables["params"]
 
 
+def _jit_fwd(fn, mesh):
+    """jit a (params, batch) -> batched-outputs fn, optionally SPMD over a
+    1-axis 'data' mesh: params replicated, batch and outputs sharded on their
+    leading axis. XLA partitions the whole graph (model + postprocess)."""
+    if mesh is None:
+        return jax.jit(fn)
+    from ..parallel.mesh import batch_sharding, replicated
+
+    return jax.jit(fn, in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                   out_shardings=batch_sharding(mesh))
+
+
+def _round_batch(bs, mesh):
+    if mesh is None:
+        return bs
+    n = mesh.shape["data"]
+    return -(-bs // n) * n
+
+
 def pad_batch(frames, batch_size):
     """Stack a list of same-shape frames, padding to ``batch_size`` by repeating
     the last frame (results for the padding are dropped)."""
@@ -48,9 +67,10 @@ class YoloDetector:
     as per-image numpy lists."""
 
     def __init__(self, device=None, checkpoint="yolov3_wider", max_side=608,
-                 batch_size=None, params=None):
+                 batch_size=None, params=None, mesh=None):
         print("Initializing YOLOv3 model for live-action face detection")
         del device  # jax manages placement
+        self.mesh = mesh
         self.model = Y.YOLOv3(num_classes=1)
         self.max_side = max_side
         self.batch_size = batch_size
@@ -65,15 +85,15 @@ class YoloDetector:
             nh, nw = Y.resized_shape(h, w, self.max_side)
             canvas = Y.canvas_shape(nh, nw)
             priors, strides = Y.flat_priors_and_strides(canvas)
-            fn = jax.jit(partial(
+            fn = _jit_fwd(partial(
                 Y.full_forward,
                 resized_hw=(nh, nw), canvas_hw=canvas,
-                priors=jnp.asarray(priors), strides=jnp.asarray(strides)))
+                priors=jnp.asarray(priors), strides=jnp.asarray(strides)), self.mesh)
             self._cache[key] = fn
         return self._cache[key]
 
     def __call__(self, frames):
-        bs = self.batch_size or len(frames)
+        bs = _round_batch(self.batch_size or len(frames), self.mesh)
         arr, n = pad_batch(list(frames), bs)
         fn = self._compiled(*arr.shape[:3])
         boxes, scores, classes, valid = jax.device_get(fn(self.params, jnp.asarray(arr)))
@@ -91,8 +111,9 @@ class _Encoder:
     cv2.blobFromImages resize), device normalize + forward, padded batches."""
 
     def __init__(self, model, checkpoint, input_size, preprocess, params=None,
-                 batch_size=None):
+                 batch_size=None, mesh=None):
         self.model = model
+        self.mesh = mesh
         self.input_size = input_size
         self.preprocess = preprocess
         self.batch_size = batch_size
@@ -110,7 +131,7 @@ class _Encoder:
                 x = prep(u8_bgr[..., ::-1])  # BGR -> RGB, affine normalize
                 return self.model.apply({"params": params}, x)
 
-            self._fn_cache[b] = jax.jit(fwd)
+            self._fn_cache[b] = _jit_fwd(fwd, self.mesh)
         return self._fn_cache[b]
 
     def __call__(self, images):
@@ -119,7 +140,7 @@ class _Encoder:
         s = self.input_size
         blobs = [cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
                  for img in images]
-        bs = self.batch_size or len(blobs)
+        bs = _round_batch(self.batch_size or len(blobs), self.mesh)
         arr, n = pad_batch(blobs, bs)
         out = self._compiled(arr.shape[0])(self.params, jnp.asarray(arr))
         return np.asarray(jax.device_get(out))[:n]
@@ -156,12 +177,17 @@ class FrcnnDetector:
     (rcnn.py:154-177): __call__(list of BGR frames) -> (boxes, scores, classes)."""
 
     def __init__(self, device=None, checkpoint="frcnn_anime", batch_size=None,
-                 params=None):
+                 params=None, mesh=None, resize_spec=(800, 1333), proposal_cap=1000,
+                 out_top=100):
         from . import rcnn as R
 
         print("Initializing FasterRCNN model for anime face detection")
         del device
+        self.mesh = mesh
         self.R = R
+        self.resize_spec = resize_spec
+        self.proposal_cap = proposal_cap
+        self.out_top = out_top
         self.batch_size = batch_size
         if params is None:
             import os.path as osp
@@ -169,8 +195,8 @@ class FrcnnDetector:
             path = osp.join(W.weights_dir(), checkpoint + ".npz")
             body = R.FasterRCNN(1)
             head = R.RoIHead(1)
-            body_vars = body.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-            head_vars = head.init(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))
+            body_vars = jax.jit(body.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            head_vars = jax.jit(head.init)(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))
             expected = {"body": body_vars["params"], "head": head_vars["params"]}
             if osp.isfile(path):
                 print("Using weights from: " + path)
@@ -185,16 +211,17 @@ class FrcnnDetector:
         key = (b, h, w)
         if key not in self._cache:
             R = self.R
-            nh, nw = R.resized_shape(h, w)
+            nh, nw = R.resized_shape(h, w, *self.resize_spec)
             canvas = R.canvas_shape(nh, nw)
             priors = get_priors(canvas, R.frcnn_bases(), loc="corner", concat=False)
-            fn = jax.jit(lambda p, f: R.full_forward(
-                p, f, (nh, nw), canvas, [jnp.asarray(x) for x in priors]))
+            fn = _jit_fwd(lambda p, f: R.full_forward(
+                p, f, (nh, nw), canvas, [jnp.asarray(x) for x in priors],
+                proposal_cap=self.proposal_cap, out_top=self.out_top), self.mesh)
             self._cache[key] = fn
         return self._cache[key]
 
     def __call__(self, frames):
-        bs = self.batch_size or len(frames)
+        bs = _round_batch(self.batch_size or len(frames), self.mesh)
         arr, n = pad_batch(list(frames), bs)
         fn = self._compiled(*arr.shape[:3])
         boxes, scores, classes, valid = jax.device_get(fn(self.params, jnp.asarray(arr)))
@@ -213,11 +240,12 @@ class MtcnnDetector:
     arrays (x1, y1, x2, y2, score), optionally with landmarks."""
 
     def __init__(self, device=None, min_face_size=5, checkpoint="mtcnn_joined",
-                 batch_size=None, caps=None, params=None):
+                 batch_size=None, caps=None, params=None, mesh=None):
         from . import mtcnn as M
 
         print("Initializing MTCNN model for live-action face detection")
         del device
+        self.mesh = mesh
         self.M = M
         self.minsize = min_face_size
         self.caps = caps or M.Caps()
@@ -227,9 +255,9 @@ class MtcnnDetector:
 
             path = osp.join(W.weights_dir(), checkpoint + ".npz")
             expected = {
-                "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
-                "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
-                "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+                "pnet": jax.jit(M.PNet().init)(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+                "rnet": jax.jit(M.RNet().init)(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+                "onet": jax.jit(M.ONet().init)(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
             }
             if osp.isfile(path):
                 print("Using weights from: " + path)
@@ -244,12 +272,12 @@ class MtcnnDetector:
         key = (b, h, w)
         if key not in self._cache:
             M, caps, minsize = self.M, self.caps, self.minsize
-            self._cache[key] = jax.jit(
-                lambda p, f: M.full_forward(p, f, minsize=minsize, caps=caps))
+            self._cache[key] = _jit_fwd(
+                lambda p, f: M.full_forward(p, f, minsize=minsize, caps=caps), self.mesh)
         return self._cache[key]
 
     def __call__(self, frames, return_landmarks=False):
-        bs = self.batch_size or len(frames)
+        bs = _round_batch(self.batch_size or len(frames), self.mesh)
         arr, n = pad_batch(list(frames), bs)
         fn = self._compiled(*arr.shape[:3])
         boxes, scores, lmk, valid, counts = jax.device_get(fn(self.params, jnp.asarray(arr)))

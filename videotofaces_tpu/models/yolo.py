@@ -152,6 +152,8 @@ def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=
     ok = (obj[..., None] >= conf_thr) & (cls > score_thr)
     masked = jnp.where(ok, score, 0.0).reshape(b, -1)              # [B, D*nc]
 
+    pre_topk = min(pre_topk, masked.shape[1])
+    out_topk = min(out_topk, pre_topk)
     top_scores, top_idx = jax.lax.top_k(masked, pre_topk)          # [B, K]
     loc = top_idx // nc
     class_id = top_idx % nc

@@ -26,6 +26,7 @@ def round_out(boxes):
     out = np.empty((len(boxes), 4), dtype=np.int64)
     if len(boxes):
         b = np.asarray(boxes, dtype=np.float64)
+        b = np.where(np.isfinite(b), b, 0.0)  # guard: untrained weights can emit inf/nan
         out[:, 0] = np.floor(b[:, 0])
         out[:, 1] = np.floor(b[:, 1])
         out[:, 2] = np.ceil(b[:, 2])

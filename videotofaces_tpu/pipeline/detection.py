@@ -135,9 +135,12 @@ def process_frames_batch(frames, indices, model, det_params, save_params, hash_t
         passed = iboxes[~rejected]
         # 3. scale/square the survivors
         adjusted = BF.adjust_boxes(passed, img_size, scale, square)
-        # 4-6. crop and name as %06d_%u.jpg
+        # 4-6. crop and name as %06d_%u.jpg (skip crops that fall fully
+        # outside the frame — only possible with degenerate detector outputs)
         for j, (x1, y1, x2, y2) in enumerate(adjusted):
             crop = frame[y1:y2, x1:x2]
+            if crop.size == 0:
+                continue
             faces.append((crop, out_prefix + "%06d_%u.jpg" % (frame_idx, j)))
 
     # 7. optional thumbnailing
