@@ -68,3 +68,32 @@ def test_sharded_train_step_dp_tp():
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[2] < losses[0]  # optimizes on a fixed batch
+
+
+def test_data_parallel_yolo_full_forward(rng):
+    """The whole uint8->detections graph shards over the data axis and matches
+    the single-device result exactly (postprocess is per-image)."""
+    import jax.numpy as jnp
+    from videotofaces_tpu.models import yolo as Y
+    from videotofaces_tpu.parallel import make_mesh, batch_sharding, replicated
+
+    mesh = make_mesh()
+    h, w = 60, 80
+    nh, nw = Y.resized_shape(h, w, max_side=96)
+    canvas = Y.canvas_shape(nh, nw)
+    priors, strides = Y.flat_priors_and_strides(canvas)
+    model = Y.YOLOv3(1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *canvas, 3)))["params"]
+    frames = jnp.asarray(rng.integers(0, 255, size=(8, h, w, 3)).astype(np.uint8))
+
+    def fwd(p, f):
+        return Y.full_forward(p, f, (nh, nw), canvas, jnp.asarray(priors),
+                              jnp.asarray(strides), out_topk=16)
+
+    ref = jax.jit(fwd)(params, frames)
+    sharded_fn = jax.jit(fwd, in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                         out_shardings=batch_sharding(mesh))
+    with mesh:
+        got = sharded_fn(params, jax.device_put(frames, batch_sharding(mesh)))
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))  # valid masks
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-4, atol=1e-3)
