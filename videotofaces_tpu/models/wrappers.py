@@ -92,11 +92,17 @@ class YoloDetector:
             self._cache[key] = fn
         return self._cache[key]
 
-    def __call__(self, frames):
+    def submit(self, frames):
+        """Dispatch a batch asynchronously; pair with ``collect``. Lets the
+        pipeline overlap device compute with host post-processing."""
         bs = _round_batch(self.batch_size or len(frames), self.mesh)
         arr, n = pad_batch(list(frames), bs)
         fn = self._compiled(*arr.shape[:3])
-        boxes, scores, classes, valid = jax.device_get(fn(self.params, jnp.asarray(arr)))
+        return fn(self.params, jnp.asarray(arr)), n
+
+    def collect(self, handle):
+        (boxes, scores, classes, valid), n = handle[0][:4], handle[1]
+        boxes, scores, classes, valid = jax.device_get((boxes, scores, classes, valid))
         out_b, out_s, out_c = [], [], []
         for i in range(n):
             v = valid[i]
@@ -104,6 +110,9 @@ class YoloDetector:
             out_s.append(scores[i][v])
             out_c.append(classes[i][v])
         return out_b, out_s, out_c
+
+    def __call__(self, frames):
+        return self.collect(self.submit(frames))
 
 
 class _Encoder:
@@ -220,11 +229,17 @@ class FrcnnDetector:
             self._cache[key] = fn
         return self._cache[key]
 
-    def __call__(self, frames):
+    def submit(self, frames):
+        """Dispatch a batch asynchronously; pair with ``collect``. Lets the
+        pipeline overlap device compute with host post-processing."""
         bs = _round_batch(self.batch_size or len(frames), self.mesh)
         arr, n = pad_batch(list(frames), bs)
         fn = self._compiled(*arr.shape[:3])
-        boxes, scores, classes, valid = jax.device_get(fn(self.params, jnp.asarray(arr)))
+        return fn(self.params, jnp.asarray(arr)), n
+
+    def collect(self, handle):
+        (boxes, scores, classes, valid), n = handle[0][:4], handle[1]
+        boxes, scores, classes, valid = jax.device_get((boxes, scores, classes, valid))
         out_b, out_s, out_c = [], [], []
         for i in range(n):
             v = valid[i]
@@ -232,6 +247,9 @@ class FrcnnDetector:
             out_s.append(scores[i][v])
             out_c.append(classes[i][v])
         return out_b, out_s, out_c
+
+    def __call__(self, frames):
+        return self.collect(self.submit(frames))
 
 
 class MtcnnDetector:
@@ -276,11 +294,15 @@ class MtcnnDetector:
                 lambda p, f: M.full_forward(p, f, minsize=minsize, caps=caps), self.mesh)
         return self._cache[key]
 
-    def __call__(self, frames, return_landmarks=False):
+    def submit(self, frames):
         bs = _round_batch(self.batch_size or len(frames), self.mesh)
         arr, n = pad_batch(list(frames), bs)
         fn = self._compiled(*arr.shape[:3])
-        boxes, scores, lmk, valid, counts = jax.device_get(fn(self.params, jnp.asarray(arr)))
+        return fn(self.params, jnp.asarray(arr)), n
+
+    def collect(self, handle, return_landmarks=False):
+        out, n = handle
+        boxes, scores, lmk, valid, counts = jax.device_get(out)
         if int(np.asarray(counts["stage1"]).max()) > self.caps.pre1:
             print("WARNING: MTCNN stage-1 candidates exceeded buffer capacity "
                   "(%d > %d); results may drop low-scoring faces. Increase Caps.pre1."
@@ -293,3 +315,6 @@ class MtcnnDetector:
         if return_landmarks:
             return res, ldm
         return res
+
+    def __call__(self, frames, return_landmarks=False):
+        return self.collect(self.submit(frames), return_landmarks)

@@ -81,6 +81,12 @@ def roi_align_multilevel(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
     num_levels = len(fmaps)
     true_sizes = [(f.shape[0], f.shape[1]) for f in fmaps]
 
+    # patch gathers dominate HBM traffic; in throughput mode carry them in
+    # bf16 (2x bandwidth), keeping the contraction accumulation in f32
+    fast = config.get_precision_name() == "default"
+    if fast:
+        fmaps = [f.astype(jnp.bfloat16) for f in fmaps]
+
     # flatten levels into one padded row-major buffer
     padded, offsets, pad_ws = [], [], []
     off = 0

@@ -92,25 +92,49 @@ def process_video(path, model, vid_params, det_params, save_params, hash_thr):
 
     fnames, hashes = [], []
     pbar = tqdm(total=len(indices))
+    can_pipeline = hasattr(model, "submit")
+    pending = None  # (handle, frames, indices) — device busy with this batch
     with AsyncImageWriter() as writer:
-        for bi, frames in source:
-            fnames_b, hashes = process_frames_batch(
-                frames, bi, model, det_params, save_params, hash_thr, hashes, writer)
+
+        def drain(pending):
+            handle, p_frames, p_bi = pending
+            detout = model.collect(handle)
+            fnames_b, new_hashes = process_frames_batch(
+                p_frames, p_bi, detout, det_params, save_params, hash_thr,
+                hashes, writer)
             fnames.extend(fnames_b)
-            pbar.update(len(bi))
+            pbar.update(len(p_bi))
+            return new_hashes
+
+        for bi, frames in source:
+            if not can_pipeline:
+                detout = model(frames)
+                fnames_b, hashes = process_frames_batch(
+                    frames, bi, detout, det_params, save_params, hash_thr,
+                    hashes, writer)
+                fnames.extend(fnames_b)
+                pbar.update(len(bi))
+                continue
+            # dispatch batch i, then post-process batch i-1 while the device runs
+            handle = model.submit(frames)
+            if pending is not None:
+                hashes = drain(pending)
+            pending = (handle, frames, bi)
+        if pending is not None:
+            hashes = drain(pending)
     pbar.close()
     reader.close()
     return fnames, [h for (h, _) in hashes]
 
 
-def process_frames_batch(frames, indices, model, det_params, save_params, hash_thr,
+def process_frames_batch(frames, indices, detout, det_params, save_params, hash_thr,
                          hashes, writer):
+    """Host post-processing for one batch. ``detout`` is the detector output —
+    either (boxes, scores[, classes]) lists or a list of [n, 5] arrays."""
     _, min_score, min_size, min_border, scale, square = det_params
     out_dir, out_prefix, resize_to, save_frames, save_rejects, _ = save_params
     img_size = frames[0].shape[:2]
 
-    # 1. batched detector forward on device -> per-image (boxes, scores)
-    detout = model(frames)
     if isinstance(detout, tuple):
         boxes_list, scores_list = detout[0], detout[1]
     else:
