@@ -108,7 +108,7 @@ def kmeans_fit(x, n_clusters, random_state=0, max_iter=300, tol=1e-4):
         labels = np.asarray(labels_d)
         counts = np.asarray(counts)
         if (counts == 0).any():  # sklearn: reseed empties from farthest points
-            new_centers = np.asarray(new_centers)
+            new_centers = np.array(new_centers)  # writable host copy
             far = np.argsort(-np.asarray(closest))
             for slot, cid in enumerate(np.nonzero(counts == 0)[0]):
                 new_centers[cid] = x[far[slot]]
