@@ -8,7 +8,6 @@ the framework is inference-first and params are plain pytrees.
 
 from typing import Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import ConvUnit, max_pool2d

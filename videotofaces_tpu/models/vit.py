@@ -10,9 +10,6 @@ TPU notes: 65-token attention is tiny; the whole model is MXU-bound dense
 matmuls, so the only things that matter are batch size and precision policy.
 """
 
-from dataclasses import field
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

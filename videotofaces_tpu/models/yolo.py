@@ -11,9 +11,6 @@ with num_classes=1, WIDER-face weights). TPU redesign:
   NMS per image grouped by class, top-100 output with validity mask
 """
 
-from functools import partial
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
