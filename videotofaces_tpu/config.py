@@ -11,8 +11,21 @@ Use ``set_precision()`` or the ``precision_scope`` context manager.
 """
 
 import contextlib
+import os
 
+import jax
 import jax.lax
+
+# Persistent XLA compilation cache: detector graphs are large (Faster R-CNN
+# cold-compiles take minutes on remote-compile setups); cache them across
+# processes. Override the location with V2F_COMPILE_CACHE, disable with "0".
+_cache_dir = os.environ.get("V2F_COMPILE_CACHE", os.path.expanduser("~/.cache/v2f_xla"))
+if _cache_dir and _cache_dir != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without these options
+        pass
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,

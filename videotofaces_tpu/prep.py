@@ -16,6 +16,8 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tif
 
 
 def get_img_paths(target_dir):
+    if not osp.isdir(target_dir):
+        return []
     return sorted(e.path for e in os.scandir(target_dir)
                   if e.is_file() and e.name.lower().endswith(IMG_EXTENSIONS))
 
