@@ -23,7 +23,6 @@ loops. TPU redesign:
 
 from dataclasses import dataclass
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

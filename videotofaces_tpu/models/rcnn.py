@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.anchors import get_priors, make_anchors
+from ..ops.anchors import make_anchors
 from ..ops.boxes import clamp_to_canvas, convert_to_cwh, decode_boxes, small_boxes_mask
 from ..ops.nms import nms_keep_mask, topk_by_score
 from ..ops.resize import bilinear_resize

@@ -23,8 +23,6 @@ aspect-ratio > 4 proposals on P2/P3 whose edge weights then fall outside and
 contribute zero).
 """
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 
