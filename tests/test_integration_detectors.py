@@ -64,3 +64,23 @@ def test_frcnn_wrapper_through_driver(tmp_path):
     }
     det = FrcnnDetector(params=params, resize_spec=(64, 96), proposal_cap=64, out_top=16)
     _run(det, tmp_path)
+
+
+def test_yolo_host_resize_close_to_device_resize(tmp_path, rng):
+    """cv2 fixed-point resize vs device bilinear give near-identical scores."""
+    import numpy as np
+    from videotofaces_tpu.models import yolo as Y
+    from videotofaces_tpu.models.wrappers import YoloDetector
+
+    params = jax.jit(Y.YOLOv3(1).init)(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 32, 32, 3)))["params"]
+    frames = [rng.integers(0, 255, size=(120, 160, 3)).astype(np.uint8)]
+    dev = YoloDetector(params=params, max_side=96)
+    host = YoloDetector(params=params, max_side=96, host_resize=True)
+    b1, s1, _ = dev(frames)
+    b2, s2, _ = host(frames)
+    assert len(s1[0]) > 0
+    # counts may differ by a couple of threshold-straddling candidates
+    n = min(len(s1[0]), len(s2[0]))
+    np.testing.assert_allclose(s1[0][:5], s2[0][:5], atol=0.05)
+    np.testing.assert_allclose(b1[0][:3], b2[0][:3], atol=8.0)

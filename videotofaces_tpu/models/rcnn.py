@@ -198,13 +198,18 @@ def canvas_shape(nh, nw, mult=32):
 
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
-                 num_classes=1, out_top=100, proposal_cap=1000):
+                 num_classes=1, out_top=100, proposal_cap=1000, orig_hw=None):
     """uint8 BGR frames -> final detections in original-frame coordinates.
-    ``params`` = {'body': FasterRCNN params, 'head': RoIHead params}."""
-    h, w = frames_u8.shape[1:3]
+    ``params`` = {'body': FasterRCNN params, 'head': RoIHead params}.
+    ``orig_hw``: set when frames were already cv2-resized on host."""
+    if orig_hw is None:
+        h, w = frames_u8.shape[1:3]
+    else:
+        h, w = orig_hw
     nh, nw = resized_hw
     x = frames_u8[..., ::-1].astype(jnp.float32)
-    x = bilinear_resize(x, (nh, nw))
+    if orig_hw is None:
+        x = bilinear_resize(x, (nh, nw))
     x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
     pyramid, regs, logs = FasterRCNN(num_classes).apply({"params": params["body"]}, x)

@@ -67,10 +67,11 @@ class YoloDetector:
     as per-image numpy lists."""
 
     def __init__(self, device=None, checkpoint="yolov3_wider", max_side=608,
-                 batch_size=None, params=None, mesh=None):
+                 batch_size=None, params=None, mesh=None, host_resize=False):
         print("Initializing YOLOv3 model for live-action face detection")
         del device  # jax manages placement
         self.mesh = mesh
+        self.host_resize = host_resize  # cv2 fixed-point resize (bit parity)
         self.model = Y.YOLOv3(num_classes=1)
         self.max_side = max_side
         self.batch_size = batch_size
@@ -88,16 +89,25 @@ class YoloDetector:
             fn = _jit_fwd(partial(
                 Y.full_forward,
                 resized_hw=(nh, nw), canvas_hw=canvas,
-                priors=jnp.asarray(priors), strides=jnp.asarray(strides)), self.mesh)
+                priors=jnp.asarray(priors), strides=jnp.asarray(strides),
+                orig_hw=(h, w) if self.host_resize else None), self.mesh)
             self._cache[key] = fn
         return self._cache[key]
 
     def submit(self, frames):
         """Dispatch a batch asynchronously; pair with ``collect``. Lets the
         pipeline overlap device compute with host post-processing."""
+        frames = list(frames)
+        h, w = frames[0].shape[:2]
+        if self.host_resize:
+            import cv2
+
+            nh, nw = Y.resized_shape(h, w, self.max_side)
+            frames = [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                      for f in frames]
         bs = _round_batch(self.batch_size or len(frames), self.mesh)
-        arr, n = pad_batch(list(frames), bs)
-        fn = self._compiled(*arr.shape[:3])
+        arr, n = pad_batch(frames, bs)
+        fn = self._compiled(arr.shape[0], h, w)
         return fn(self.params, jnp.asarray(arr)), n
 
     def collect(self, handle):
@@ -228,7 +238,7 @@ class FrcnnDetector:
 
     def __init__(self, device=None, checkpoint="frcnn_anime", batch_size=None,
                  params=None, mesh=None, resize_spec=(800, 1333), proposal_cap=1000,
-                 out_top=100):
+                 out_top=100, host_resize=False):
         from . import rcnn as R
 
         print("Initializing FasterRCNN model for anime face detection")
@@ -236,6 +246,7 @@ class FrcnnDetector:
         self.mesh = mesh
         self.R = R
         self.resize_spec = resize_spec
+        self.host_resize = host_resize
         self.proposal_cap = proposal_cap
         self.out_top = out_top
         self.batch_size = batch_size
@@ -266,16 +277,25 @@ class FrcnnDetector:
             priors = get_priors(canvas, R.frcnn_bases(), loc="corner", concat=False)
             fn = _jit_fwd(lambda p, f: R.full_forward(
                 p, f, (nh, nw), canvas, [jnp.asarray(x) for x in priors],
-                proposal_cap=self.proposal_cap, out_top=self.out_top), self.mesh)
+                proposal_cap=self.proposal_cap, out_top=self.out_top,
+                orig_hw=(h, w) if self.host_resize else None), self.mesh)
             self._cache[key] = fn
         return self._cache[key]
 
     def submit(self, frames):
         """Dispatch a batch asynchronously; pair with ``collect``. Lets the
         pipeline overlap device compute with host post-processing."""
+        frames = list(frames)
+        h, w = frames[0].shape[:2]
+        if self.host_resize:
+            import cv2
+
+            nh, nw = self.R.resized_shape(h, w, *self.resize_spec)
+            frames = [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                      for f in frames]
         bs = _round_batch(self.batch_size or len(frames), self.mesh)
-        arr, n = pad_batch(list(frames), bs)
-        fn = self._compiled(*arr.shape[:3])
+        arr, n = pad_batch(frames, bs)
+        fn = self._compiled(arr.shape[0], h, w)
         return fn(self.params, jnp.asarray(arr)), n
 
     def collect(self, handle):

@@ -172,17 +172,25 @@ def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=
 
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
-                 num_classes=1, out_topk=100):
+                 num_classes=1, out_topk=100, orig_hw=None):
     """uint8 BGR frames -> final detections, one jitted graph.
 
     Mirrors YOLOv3.forward (yolo.py:139-147): keep-ratio resize to 608 max
     side, /255 normalization, RGB order, zero-pad to /32 canvas, forward,
     postprocess, rescale boxes to original frame coordinates.
+
+    ``orig_hw``: if given, frames are ALREADY resized to ``resized_hw`` on host
+    (bit-parity cv2 INTER_LINEAR path) and only normalized/padded here.
     """
-    h, w = frames_u8.shape[1:3]
+    if orig_hw is None:
+        h, w = frames_u8.shape[1:3]
+    else:
+        h, w = orig_hw
     nh, nw = resized_hw
     x = frames_u8[..., ::-1].astype(jnp.float32)  # BGR -> RGB
-    x = bilinear_resize(x, (nh, nw)) / 255.0
+    if orig_hw is None:
+        x = bilinear_resize(x, (nh, nw))
+    x = x / 255.0
     x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
     maps = YOLOv3(num_classes).apply({"params": params}, x)
     boxes, scores, classes, valid = postprocess(
