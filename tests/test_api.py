@@ -86,11 +86,15 @@ def test_validate_args_rejects_bad_options(tmp_path, capsys):
     assert not prep.validate_args("full", str(tmp_path / "nope.mp4"), None, "live",
                                   "clustering", "opencv", "default", "default")
     assert not prep.validate_args("full", None, None, "live", "clustering",
-                                  "opencv", "rcnn", "default")  # rcnn is anime-only
+                                  "opencv", "bogus_model", "default")
     v = str(tmp_path / "v.avi")
     open(v, "w").close()
     assert prep.validate_args("full", v, None, "anime", "clustering",
                               "opencv", "rcnn", "vit_l")
+    # cross-style pairings are allowed (with a printed note) — the reference
+    # rejects them, but baseline config 3 needs anime + yolo + vit_l
+    assert prep.validate_args("full", v, None, "anime", "clustering",
+                              "opencv", "yolo", "vit_l")
 
 
 def test_get_clusters():

@@ -26,16 +26,17 @@ from ..hostio.video import frame_schedule
 
 
 def get_detector_model(style, det_model, device=None):
-    """String-dispatch model factory (reference detection.py:22-29)."""
-    if style == "anime":
+    """String-dispatch model factory (reference detection.py:22-29; extended
+    so any detector can pair with any style — see prep.validate_args)."""
+    if det_model == "rcnn" or (det_model == "default" and style == "anime"):
         from ..models.wrappers import FrcnnDetector
 
         return FrcnnDetector(device)
-    if style == "live":
-        if det_model == "mtcnn":
-            from ..models.wrappers import MtcnnDetector
+    if det_model == "mtcnn":
+        from ..models.wrappers import MtcnnDetector
 
-            return MtcnnDetector(device)
+        return MtcnnDetector(device)
+    if det_model in ("yolo", "default"):
         from ..models.wrappers import YoloDetector
 
         return YoloDetector(device)

@@ -33,13 +33,14 @@ from ..utils.pbar import tqdm
 
 
 def get_encoder_model(style, enc_model, device=None):
-    """String-dispatch encoder factory (reference grouping.py:19-26)."""
-    if style == "anime":
+    """String-dispatch encoder factory (reference grouping.py:19-26; extended
+    so any encoder can pair with any style)."""
+    if enc_model.startswith("vit") or (enc_model == "default" and style == "anime"):
         from ..models.wrappers import VitEncoder
 
         large = False if enc_model == "default" else enc_model[-1] == "l"
         return VitEncoder(device, large)
-    if style == "live":
+    if enc_model.startswith("facenet") or (enc_model == "default" and style == "live"):
         from ..models.wrappers import FaceNetEncoder
 
         casia = False if enc_model == "default" else enc_model.split("_")[1] == "casia"

@@ -55,13 +55,24 @@ def validate_args(mode, input_path, out_dir, style, group_mode, video_reader,
     ok = ok and check_limited_option(style, "style", ["live", "anime"])
     ok = ok and check_limited_option(group_mode, "group_mode", ["clustering", "classification"])
     ok = ok and check_limited_option(video_reader, "video_reader", ["opencv", "decord"])
-    if style == "live":
-        ok = ok and check_limited_option(det_model, "det_model", ["default", "yolo", "mtcnn"])
-        ok = ok and check_limited_option(enc_model, "enc_model",
-                                         ["default", "facenet_vgg", "facenet_casia"])
-    if style == "anime":
-        ok = ok and check_limited_option(det_model, "det_model", ["default", "rcnn"])
-        ok = ok and check_limited_option(enc_model, "enc_model", ["default", "vit_b", "vit_l"])
+    # any model can pair with any style (the reference hard-couples them,
+    # prep.py:39-44, which rejects useful combos like anime+YOLO+ViT-L);
+    # crossing the usual pairing just prints a note.
+    ok = ok and check_limited_option(det_model, "det_model",
+                                     ["default", "yolo", "mtcnn", "rcnn"])
+    ok = ok and check_limited_option(
+        enc_model, "enc_model",
+        ["default", "facenet_vgg", "facenet_casia", "vit_b", "vit_l"])
+    if ok and det_model != "default":
+        usual = {"live": ("yolo", "mtcnn"), "anime": ("rcnn",)}[style]
+        if det_model not in usual:
+            print('NOTE: det_model "%s" is unusual for style "%s" (trained on %s '
+                  'content)' % (det_model, style,
+                                "anime" if det_model == "rcnn" else "live-action"))
+    if ok and enc_model != "default":
+        usual = {"live": ("facenet_vgg", "facenet_casia"), "anime": ("vit_b", "vit_l")}[style]
+        if enc_model not in usual:
+            print('NOTE: enc_model "%s" is unusual for style "%s"' % (enc_model, style))
     return ok
 
 
