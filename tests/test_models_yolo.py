@@ -42,9 +42,10 @@ def test_yolo_postprocess_matches_oracle(rng):
     maps = [rng.normal(-2.2, 1.2, size=(2, h, w, 18)).astype(np.float32)
             for (h, w) in [(3, 4), (6, 8), (12, 16)]]
     del d32
-    got_b, got_s, got_c, got_v = jax.jit(
+    got_b, got_s, got_c, got_v, overflow = jax.jit(
         lambda ms: Y.postprocess(ms, jnp.asarray(priors), jnp.asarray(strides), pre_topk=600)
     )([jnp.asarray(m) for m in maps])
+    assert int(np.asarray(overflow).max()) == 0
     want = np_yolo_postprocess(maps, priors, strides)
     for i in range(2):
         v = np.asarray(got_v[i])
@@ -92,5 +93,5 @@ def test_yolo_full_forward_smoke(rng):
     params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, *canvas, 3)))["params"]
     fn = jax.jit(lambda p, f: Y.full_forward(p, f, (nh, nw), canvas, jnp.asarray(priors),
                                              jnp.asarray(strides), out_topk=20))
-    boxes, scores, classes, valid = fn(params, jnp.asarray(frames))
+    boxes, scores, classes, valid, overflow = fn(params, jnp.asarray(frames))
     assert boxes.shape == (2, 20, 4) and valid.shape == (2, 20)

@@ -1,0 +1,50 @@
+import numpy as np
+import jax.numpy as jnp
+
+from videotofaces_tpu.ops.select import block_topk_select
+
+
+def naive(scores, payload, k):
+    order = np.argsort(-scores, kind="stable")[:k]
+    return scores[order], payload[order]
+
+
+def test_block_topk_matches_exact(rng):
+    b, d, p, k = 3, 2999, 6, 200
+    scores = rng.uniform(0, 1, size=(b, d)).astype(np.float32)
+    scores[scores < 0.7] = 0.0  # sparse candidates like a detector
+    payload = rng.normal(size=(b, d, p)).astype(np.float32)
+    vals, sel, overflow = block_topk_select(jnp.asarray(scores), jnp.asarray(payload),
+                                            k, per_block=32)
+    vals, sel, overflow = np.asarray(vals), np.asarray(sel), np.asarray(overflow)
+    assert (overflow == 0).all()
+    for i in range(b):
+        wv, wp = naive(scores[i], payload[i], k)
+        np.testing.assert_allclose(vals[i], wv, rtol=1e-6)
+        # ties in scores can permute payload rows; compare as sorted sets per value
+        np.testing.assert_allclose(np.sort(sel[i], axis=0), np.sort(wp, axis=0),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_block_topk_exact_order_distinct_scores(rng):
+    b, d, p, k = 2, 1500, 4, 100
+    scores = rng.permutation(d * b).reshape(b, d).astype(np.float32) + 1.0
+    payload = rng.normal(size=(b, d, p)).astype(np.float32)
+    vals, sel, overflow = block_topk_select(jnp.asarray(scores), jnp.asarray(payload),
+                                            k, per_block=32)
+    for i in range(b):
+        wv, wp = naive(scores[i], payload[i], k)
+        np.testing.assert_allclose(np.asarray(vals)[i], wv)
+        np.testing.assert_allclose(np.asarray(sel)[i], wp)
+
+
+def test_block_topk_overflow_detection(rng):
+    # cram 40 top candidates into one 128-lane block with per_block=8
+    d, k = 512, 64
+    scores = np.zeros((1, d), np.float32)
+    scores[0, :40] = rng.uniform(10, 20, size=40)   # all in block 0
+    scores[0, 200:224] = rng.uniform(1, 2, size=24)
+    payload = rng.normal(size=(1, d, 3)).astype(np.float32)
+    vals, sel, overflow = block_topk_select(jnp.asarray(scores), jnp.asarray(payload),
+                                            k, per_block=8)
+    assert int(np.asarray(overflow)[0]) >= 1  # block 0 truncated and flagged

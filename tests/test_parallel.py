@@ -43,9 +43,9 @@ def test_data_parallel_detection_postprocess(rng):
                  in_shardings=([batch_sharding(mesh)] * 3,))
     with mesh:
         sharded = [jax.device_put(m, batch_sharding(mesh)) for m in maps]
-        boxes, scores, classes, valid = fn(sharded)
-    ref_b, ref_s, _, ref_v = Y.postprocess(maps, jnp.asarray(priors), jnp.asarray(strides),
-                                           pre_topk=256, out_topk=16)
+        boxes, scores, classes, valid, _of = fn(sharded)
+    ref_b, ref_s, _, ref_v, _ = Y.postprocess(maps, jnp.asarray(priors), jnp.asarray(strides),
+                                              pre_topk=256, out_topk=16)
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_v))
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_s), rtol=1e-5, atol=1e-6)
 

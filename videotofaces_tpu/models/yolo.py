@@ -18,7 +18,8 @@ from flax import linen as nn
 
 from ..ops.anchors import get_priors
 from ..ops.boxes import decode_boxes
-from ..ops.nms import nms_keep_mask, topk_by_score
+from ..ops.nms import nms_keep_mask
+from ..ops.select import block_topk_select
 from ..ops.resize import bilinear_resize
 from .layers import ConvUnit
 
@@ -130,18 +131,26 @@ def flat_priors_and_strides(canvas_hw):
 
 
 def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=0.05,
-                iou_thr=0.45, pre_topk=1000, out_topk=100):
+                iou_thr=0.45, pre_topk=1000, out_topk=100, per_block=32):
     """Fixed-capacity postprocessing for one batch of head maps.
 
     Candidate semantics match yolo.py:151-175: a candidate is a (location,
     class) pair with objectness >= conf_thr and class score > score_thr; its
     final score is obj * cls; NMS is per image, grouped by class.
 
-    Returns (boxes [B, out_topk, 4] in canvas coords, scores, classes, valid).
+    Candidate selection uses block-local top-k with lane-width one-hot payload
+    picks (ops/select.py) — full-axis index sorts and per-row gathers cost
+    ~12 ms/step on TPU for D=22k; this path costs ~1 ms. Exact unless a
+    128-lane block holds > ``per_block`` of the global top-k (returned
+    ``overflow`` counts such blocks).
+
+    Returns (boxes [B, out_topk, 4] canvas coords, scores, classes, valid,
+    overflow [B]).
     """
     b = maps[0].shape[0]
     nc = num_classes
     flat = jnp.concatenate([m.reshape(b, -1, nc + 5) for m in maps], axis=1)  # [B, D, 5+nc]
+    d = flat.shape[1]
     reg = flat[..., :4]
     obj = jax.nn.sigmoid(flat[..., 4])
     cls = jax.nn.sigmoid(flat[..., 5:])
@@ -151,24 +160,38 @@ def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=
 
     pre_topk = min(pre_topk, masked.shape[1])
     out_topk = min(out_topk, pre_topk)
-    top_scores, top_idx = jax.lax.top_k(masked, pre_topk)          # [B, K]
-    loc = top_idx // nc
-    class_id = top_idx % nc
+
+    # payload per (location, class) candidate: reg(4) + prior(4) + stride(1) + class(1)
+    loc_payload = jnp.concatenate([
+        reg,
+        jnp.broadcast_to(priors[None], (b, d, 4)),
+        jnp.broadcast_to(strides[None], (b, d, 1)),
+    ], axis=-1)                                                    # [B, D, 9]
+    if nc > 1:
+        loc_payload = jnp.repeat(loc_payload, nc, axis=1)
+    class_col = jnp.broadcast_to(
+        jnp.tile(jnp.arange(nc, dtype=jnp.float32), (d,))[None, :, None],
+        (b, d * nc, 1))
+    payload = jnp.concatenate([loc_payload, class_col], axis=-1)   # [B, D*nc, 10]
+
+    top_scores, sel, overflow = block_topk_select(masked, payload, pre_topk, per_block)
     valid = top_scores > 0.0
+    boxes = decode_boxes(sel[..., 0:4], sel[..., 4:8], mode="yolo",
+                         strides=sel[..., 8:9])                    # [B, K, 4]
+    class_id = sel[..., 9].astype(jnp.int32)
 
-    boxes = decode_boxes(
-        jnp.take_along_axis(reg, loc[..., None], axis=1),
-        priors[loc],
-        mode="yolo",
-        strides=strides[loc],
-    )                                                              # [B, K, 4]
+    keep = jax.vmap(lambda bb, ss, vv, cc: nms_keep_mask(
+        bb, ss, vv, iou_thr, cc, presorted=True))(boxes, top_scores, valid, class_id)
 
-    keep = jax.vmap(nms_keep_mask, in_axes=(0, 0, 0, None, 0))(
-        boxes, top_scores, valid, iou_thr, class_id)
-    idx, out_valid = jax.vmap(topk_by_score, in_axes=(0, 0, None))(top_scores, keep, out_topk)
-    gather = lambda a: jnp.take_along_axis(a, idx, axis=1)
-    out_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-    return out_boxes, gather(top_scores), gather(class_id), out_valid
+    # final top-out_topk among kept: one short variadic sort with payload
+    key = -jnp.where(keep, top_scores, 0.0)
+    ops = (key,) + tuple(boxes[..., i] for i in range(4)) + (sel[..., 9],)
+    sorted_ops = jax.lax.sort(ops, dimension=-1, num_keys=1)
+    out_scores = -sorted_ops[0][:, :out_topk]
+    out_boxes = jnp.stack(sorted_ops[1:5], axis=-1)[:, :out_topk]
+    out_classes = sorted_ops[5][:, :out_topk].astype(jnp.int32)
+    out_valid = out_scores > 0.0
+    return out_boxes, out_scores, out_classes, out_valid, overflow
 
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
@@ -193,10 +216,10 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
     x = x / 255.0
     x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
     maps = YOLOv3(num_classes).apply({"params": params}, x)
-    boxes, scores, classes, valid = postprocess(
+    boxes, scores, classes, valid, overflow = postprocess(
         maps, priors, strides, num_classes, out_topk=out_topk)
     scale = jnp.asarray([w / nw, h / nh, w / nw, h / nh], jnp.float32)
-    return boxes * scale, scores, classes, valid
+    return boxes * scale, scores, classes, valid, overflow
 
 
 def resized_shape(h, w, max_side=608):

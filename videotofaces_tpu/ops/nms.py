@@ -19,7 +19,8 @@ from jax import lax
 from .boxes import box_iou_matrix
 
 
-def nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=None, plus_one=False, mode="iou"):
+def nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=None, plus_one=False, mode="iou",
+                  presorted=False):
     """Greedy NMS over a padded buffer. Returns a bool keep mask in input order.
 
     boxes [K, 4], scores [K], valid [K] bool, group_ids [K] int (optional):
@@ -35,14 +36,17 @@ def nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=None, plus_one=False,
     has a unique solution, so the fixpoint IS the greedy result.
     """
     k = boxes.shape[0]
-    masked = jnp.where(valid, scores, -jnp.inf)
-    order = jnp.argsort(-masked)  # stable descending
-    b = boxes[order]
-    v = valid[order]
+    if presorted:  # caller guarantees descending score order (e.g. ops/select.py)
+        b, v, g = boxes, valid, group_ids
+    else:
+        masked = jnp.where(valid, scores, -jnp.inf)
+        order = jnp.argsort(-masked)  # stable descending
+        b = boxes[order]
+        v = valid[order]
+        g = group_ids[order] if group_ids is not None else None
     iou = box_iou_matrix(b, b, plus_one=plus_one, mode=mode)
     same = jnp.ones((k, k), dtype=bool)
-    if group_ids is not None:
-        g = group_ids[order]
+    if g is not None:
         same = g[:, None] == g[None, :]
     later = jnp.arange(k)[None, :] > jnp.arange(k)[:, None]
     suppresses = (iou > iou_thr) & same & later  # [j, i]: j (if kept) kills i
@@ -58,6 +62,8 @@ def nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=None, plus_one=False,
 
     init = (v, jnp.zeros((k,), bool), jnp.int32(0))
     keep_sorted, _, _ = lax.while_loop(cond, body, init)
+    if presorted:
+        return keep_sorted
     return jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
 
 

@@ -1,0 +1,82 @@
+"""Fast top-k candidate selection with payload (TPU-native).
+
+On TPU, `lax.top_k` WITH indices lowers to a full variadic sort, and any
+subsequent per-candidate payload pick (gather / take_along_axis / one-hot
+matmul over the full candidate axis) costs ~1.5us per row — measured ~12 ms
+of a 13.6 ms YOLO step at D=22743, regardless of formulation (docs/ROADMAP).
+
+``block_topk_select`` restructures the problem so nothing expensive touches
+the long axis:
+
+1. reshape scores to [B, R, 128] lane blocks; take the top ``per_block``
+   entries of each block by ITERATIVE ARGMAX (cheap VPU ops — per_block
+   passes over 128 lanes);
+2. select each winner's payload with a 128-wide one-hot contraction
+   (lane-local, so the one-hot tensor is tiny);
+3. run ONE short variadic sort over the ~R*per_block survivors to get the
+   global top-k in descending-score order, payload carried through the sort.
+
+Exactness: identical to exact top-k unless some 128-lane block contains more
+than ``per_block`` members of the true global top-k; the returned
+``overflow`` count (blocks whose per_block-th pick still beats the global
+k-th value) lets callers detect that and raise ``per_block``.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BLOCK = 128
+
+
+def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf):
+    """scores: [B, D] (higher = better; invalid entries must be <= 0 or -inf);
+    payload: [B, D, P] float32. Returns (vals [B, k] descending, sel [B, k, P],
+    overflow [B] int32 — candidate blocks that may have been truncated).
+    """
+    b, d = scores.shape
+    p = payload.shape[-1]
+    r = -(-d // BLOCK)
+    # guarantee >= 2k total capacity so k >~ D cases stay exact (per_block=BLOCK
+    # degenerates to a plain full sort, which is fine at small D)
+    per_block = min(BLOCK, max(per_block, -(-2 * k // r)))
+    dp = r * BLOCK
+    s = jnp.pad(scores, ((0, 0), (0, dp - d)), constant_values=pad_value)
+    s = s.reshape(b, r, BLOCK)
+    pay = jnp.pad(payload, ((0, 0), (0, dp - d), (0, 0))).reshape(b, r, BLOCK, p)
+
+    lanes = jnp.arange(BLOCK)
+    remaining = s
+    vals_list, onehot_list = [], []
+    for _ in range(per_block):
+        v = jnp.max(remaining, axis=-1)                       # [B, R]
+        am = jnp.argmax(remaining, axis=-1)                   # [B, R]
+        hit = lanes[None, None, :] == am[..., None]           # [B, R, BLOCK]
+        vals_list.append(v)
+        onehot_list.append(hit)
+        remaining = jnp.where(hit, pad_value, remaining)
+    vals = jnp.stack(vals_list, axis=2)                       # [B, R, per_block]
+    onehot = jnp.stack(onehot_list, axis=2)                   # [B, R, per_block, BLOCK]
+
+    sel = jnp.einsum("brif,brfp->brip", onehot.astype(payload.dtype), pay,
+                     precision=lax.Precision.HIGHEST)         # [B, R, per_block, P]
+
+    n = r * per_block
+    flat_vals = vals.reshape(b, n)
+    flat_sel = sel.reshape(b, n, p)
+
+    # one short variadic sort (descending by score) carrying the payload
+    operands = (jnp.where(jnp.isfinite(flat_vals), -flat_vals, jnp.inf),) + tuple(
+        flat_sel[..., i] for i in range(p))
+    sorted_ops = lax.sort(operands, dimension=-1, num_keys=1)
+    neg_sorted = sorted_ops[0][:, :k]
+    out_vals = jnp.where(jnp.isinf(neg_sorted), pad_value, -neg_sorted)
+    out_sel = jnp.stack([o[:, :k] for o in sorted_ops[1:]], axis=-1)
+
+    # overflow detection: a block whose LAST pick still beats the global k-th
+    # value may be hiding more global-top-k members
+    kth = out_vals[:, k - 1]                                   # [B]
+    last_pick = vals[:, :, per_block - 1]                      # [B, R]
+    overflow = jnp.sum((last_pick > kth[:, None])
+                       & jnp.isfinite(last_pick), axis=1).astype(jnp.int32)
+    return out_vals, out_sel, overflow
