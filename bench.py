@@ -27,8 +27,10 @@ def bench_detection(batch=8, iters=20, h=1080, w=1920):
     priors, strides = jnp.asarray(priors), jnp.asarray(strides)
     model = Y.YOLOv3(num_classes=1)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, *canvas, 3)))["params"]
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)  # throughput mode
 
-    fn = jax.jit(lambda p, f: Y.full_forward(p, f, (nh, nw), canvas, priors, strides))
+    fn = jax.jit(lambda p, f: Y.full_forward(p, f, (nh, nw), canvas, priors, strides,
+                                             compute_dtype=jnp.bfloat16))
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 255, size=(batch, h, w, 3)).astype(np.uint8))
 

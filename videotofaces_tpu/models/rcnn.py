@@ -21,7 +21,7 @@ from flax import linen as nn
 from ..ops.anchors import make_anchors
 from ..ops.boxes import clamp_to_canvas, convert_to_cwh, decode_boxes, small_boxes_mask
 from ..ops.nms import nms_keep_mask, topk_by_score
-from ..ops.resize import bilinear_resize
+from ..ops.resize import bilinear_resize_matmul as bilinear_resize
 from ..ops.roi_align import roi_align_multilevel
 from .. import config
 from .layers import ConvUnit, max_pool2d

@@ -67,16 +67,20 @@ class YoloDetector:
     as per-image numpy lists."""
 
     def __init__(self, device=None, checkpoint="yolov3_wider", max_side=608,
-                 batch_size=None, params=None, mesh=None, host_resize=False):
+                 batch_size=None, params=None, mesh=None, host_resize=False,
+                 bf16=False):
         print("Initializing YOLOv3 model for live-action face detection")
         del device  # jax manages placement
         self.mesh = mesh
         self.host_resize = host_resize  # cv2 fixed-point resize (bit parity)
+        self.compute_dtype = jnp.bfloat16 if bf16 else None
         self.model = Y.YOLOv3(num_classes=1)
         self.max_side = max_side
         self.batch_size = batch_size
         if params is None:
             params = _resolve_params(self.model, jnp.zeros((1, 64, 64, 3)), checkpoint)
+        if bf16:
+            params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
         self.params = params
         self._cache = {}
 
@@ -90,7 +94,8 @@ class YoloDetector:
                 Y.full_forward,
                 resized_hw=(nh, nw), canvas_hw=canvas,
                 priors=jnp.asarray(priors), strides=jnp.asarray(strides),
-                orig_hw=(h, w) if self.host_resize else None), self.mesh)
+                orig_hw=(h, w) if self.host_resize else None,
+                compute_dtype=self.compute_dtype), self.mesh)
             self._cache[key] = fn
         return self._cache[key]
 
