@@ -198,10 +198,12 @@ def canvas_shape(nh, nw, mult=32):
 
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
-                 num_classes=1, out_top=100, proposal_cap=1000, orig_hw=None):
+                 num_classes=1, out_top=100, proposal_cap=1000, orig_hw=None,
+                 compute_dtype=None):
     """uint8 BGR frames -> final detections in original-frame coordinates.
     ``params`` = {'body': FasterRCNN params, 'head': RoIHead params}.
-    ``orig_hw``: set when frames were already cv2-resized on host."""
+    ``orig_hw``: set when frames were already cv2-resized on host.
+    ``compute_dtype=jnp.bfloat16`` (with bf16 params) = throughput mode."""
     if orig_hw is None:
         h, w = frames_u8.shape[1:3]
     else:
@@ -212,13 +214,20 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
         x = bilinear_resize(x, (nh, nw))
     x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     pyramid, regs, logs = FasterRCNN(num_classes).apply({"params": params["body"]}, x)
+    regs = [t.astype(jnp.float32) for t in regs]
+    logs = [t.astype(jnp.float32) for t in logs]
     used = jnp.tile(jnp.asarray([[nh, nw]], jnp.float32), (x.shape[0], 1))
     proposals, pvalid = rpn_proposals(regs, logs, priors_per_level, used,
                                       lvtop=proposal_cap, out_top=proposal_cap)
 
     def apply_head(roi_maps):
-        return RoIHead(num_classes).apply({"params": params["head"]}, roi_maps)
+        if compute_dtype is not None:
+            roi_maps = roi_maps.astype(compute_dtype)
+        reg, cls = RoIHead(num_classes).apply({"params": params["head"]}, roi_maps)
+        return reg.astype(jnp.float32), cls.astype(jnp.float32)
 
     boxes, scores, classes, valid = roi_detections(
         apply_head, pyramid, proposals, pvalid, used, num_classes, out_top=out_top)

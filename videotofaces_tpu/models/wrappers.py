@@ -243,7 +243,7 @@ class FrcnnDetector:
 
     def __init__(self, device=None, checkpoint="frcnn_anime", batch_size=None,
                  params=None, mesh=None, resize_spec=(800, 1333), proposal_cap=1000,
-                 out_top=100, host_resize=False):
+                 out_top=100, host_resize=False, bf16=False):
         from . import rcnn as R
 
         print("Initializing FasterRCNN model for anime face detection")
@@ -252,6 +252,7 @@ class FrcnnDetector:
         self.R = R
         self.resize_spec = resize_spec
         self.host_resize = host_resize
+        self.compute_dtype = jnp.bfloat16 if bf16 else None
         self.proposal_cap = proposal_cap
         self.out_top = out_top
         self.batch_size = batch_size
@@ -270,6 +271,8 @@ class FrcnnDetector:
             else:
                 print("NOTE: no converted weights at %s — using seeded random init" % path)
                 params = expected
+        if bf16:
+            params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
         self.params = params
         self._cache = {}
 
@@ -283,7 +286,8 @@ class FrcnnDetector:
             fn = _jit_fwd(lambda p, f: R.full_forward(
                 p, f, (nh, nw), canvas, [jnp.asarray(x) for x in priors],
                 proposal_cap=self.proposal_cap, out_top=self.out_top,
-                orig_hw=(h, w) if self.host_resize else None), self.mesh)
+                orig_hw=(h, w) if self.host_resize else None,
+                compute_dtype=self.compute_dtype), self.mesh)
             self._cache[key] = fn
         return self._cache[key]
 
