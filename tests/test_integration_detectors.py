@@ -84,3 +84,22 @@ def test_yolo_host_resize_close_to_device_resize(tmp_path, rng):
     n = min(len(s1[0]), len(s2[0]))
     np.testing.assert_allclose(s1[0][:5], s2[0][:5], atol=0.05)
     np.testing.assert_allclose(b1[0][:3], b2[0][:3], atol=8.0)
+
+
+def test_yolo_bf16_mode_matches_f32(tmp_path, rng):
+    """bf16 throughput mode produces the same detections as f32 on easy inputs."""
+    import numpy as np
+    from videotofaces_tpu.models import yolo as Y
+    from videotofaces_tpu.models.wrappers import YoloDetector
+
+    params = jax.jit(Y.YOLOv3(1).init)(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 32, 32, 3)))["params"]
+    frames = [rng.integers(0, 255, size=(96, 128, 3)).astype(np.uint8)]
+    f32 = YoloDetector(params=params, max_side=96)
+    bf16 = YoloDetector(params=params, max_side=96, bf16=True)
+    b0, s0, _ = f32(frames)
+    b1, s1, _ = bf16(frames)
+    n = min(len(s0[0]), len(s1[0]))
+    assert n > 0
+    assert abs(len(s0[0]) - len(s1[0])) <= 2  # threshold-straddling tolerance
+    np.testing.assert_allclose(s0[0][:5], s1[0][:5], atol=0.03)
