@@ -174,7 +174,7 @@ def _select_topk(scores, keep, k, *arrays):
 
 
 def full_forward(params, frames_u8, minsize=20, caps=Caps(),
-                 thresholds=(0.6, 0.7, 0.7), factor=0.709):
+                 thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None):
     """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
     [B, out, 5, 2], valid, counts) — counts are true candidate totals per
     stage for host-side overflow detection."""
@@ -191,7 +191,10 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     total_cand = jnp.zeros((b,), jnp.int32)
     for sc, (sh, sw) in zip(scales, sizes):
         level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
+        if compute_dtype is not None:
+            level = level.astype(compute_dtype)
         reg, prob = pnet.apply({"params": params["pnet"]}, level)
+        reg, prob = reg.astype(jnp.float32), prob.astype(jnp.float32)
         ph, pw = prob.shape[1:3]
         d = ph * pw
         flat_prob = prob.reshape(b, d)
@@ -235,7 +238,10 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         win, ok = _crop_windows(boxes.reshape(b * k, 4), (h, w))
         imgidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
         crops = _normalize(adaptive_pool_boxes_batched(ii, win, imgidx, (size, size)))
+        if compute_dtype is not None:
+            crops = crops.astype(compute_dtype)
         out = module.apply({"params": mparams}, crops)
+        out = tuple(t.astype(jnp.float32) for t in out)
         return out, (valid & ok.reshape(b, k))
 
     (reg2, prob2), valid = run_subnet(RNet(), params["rnet"], boxes, valid, 24)

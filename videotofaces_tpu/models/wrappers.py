@@ -328,12 +328,13 @@ class MtcnnDetector:
     arrays (x1, y1, x2, y2, score), optionally with landmarks."""
 
     def __init__(self, device=None, min_face_size=5, checkpoint="mtcnn_joined",
-                 batch_size=None, caps=None, params=None, mesh=None):
+                 batch_size=None, caps=None, params=None, mesh=None, bf16=False):
         from . import mtcnn as M
 
         print("Initializing MTCNN model for live-action face detection")
         del device
         self.mesh = mesh
+        self.compute_dtype = jnp.bfloat16 if bf16 else None
         self.M = M
         self.minsize = min_face_size
         self.caps = caps or M.Caps()
@@ -353,6 +354,8 @@ class MtcnnDetector:
             else:
                 print("NOTE: no converted weights at %s — using seeded random init" % path)
                 params = expected
+        if bf16:
+            params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
         self.params = params
         self._cache = {}
 
@@ -361,7 +364,8 @@ class MtcnnDetector:
         if key not in self._cache:
             M, caps, minsize = self.M, self.caps, self.minsize
             self._cache[key] = _jit_fwd(
-                lambda p, f: M.full_forward(p, f, minsize=minsize, caps=caps), self.mesh)
+                lambda p, f: M.full_forward(p, f, minsize=minsize, caps=caps,
+                                            compute_dtype=self.compute_dtype), self.mesh)
         return self._cache[key]
 
     def submit(self, frames):
