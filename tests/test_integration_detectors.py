@@ -13,15 +13,18 @@ from videotofaces_tpu.pipeline.detection import detect_faces
 from test_pipeline_detection import _write_test_video
 
 
-def _run(model, tmp_path, det_params=None):
+def _run(model, tmp_path, criteria=None):
+    from videotofaces_tpu.specs import BoxCriteria, FrameSampling, OutputLayout
+
     video = str(tmp_path / "clip.avi")
     _write_test_video(video, n_frames=30, fps=10, size=(128, 96))
     out = str(tmp_path / "out")
     os.makedirs(out)
-    det_params = det_params or (2, 0.0, 1, 0, (1.0, 1.0, 1.0, 1.0), False)
-    save_params = (out, "", None, False, False, False)
-    paths = detect_faces([video], model, (1, None, None, "opencv"),
-                         det_params, save_params, hash_thr=None)
+    criteria = criteria or BoxCriteria(batch_size=2, min_score=0.0, min_size=1,
+                                       min_border=0, scale=(1.0, 1.0, 1.0, 1.0),
+                                       square=False)
+    paths = detect_faces([video], model, FrameSampling(step=1), criteria,
+                         OutputLayout(out), hash_thr=None)
     assert isinstance(paths, list)
     return paths
 

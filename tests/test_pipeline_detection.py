@@ -8,6 +8,7 @@ import pytest
 from videotofaces_tpu.pipeline import boxfilter as BF
 from videotofaces_tpu.pipeline import dupes as DU
 from videotofaces_tpu.pipeline.detection import detect_faces
+from videotofaces_tpu.specs import BoxCriteria, FrameSampling, OutputLayout
 
 import oracles
 
@@ -103,10 +104,11 @@ def test_detect_faces_end_to_end(tmp_path):
     out_dir = str(tmp_path / "out")
     os.makedirs(out_dir)
 
-    vid_params = (1, None, None, "opencv")               # 1s step @ 10fps -> frames 10,20,30
-    det_params = (4, 0.4, 50, 5, (1.0, 1.0, 1.0, 1.0), False)
-    save_params = (out_dir, "", None, True, True, True)  # exercise all debug outputs
-    paths = detect_faces([video], FakeDetector(), vid_params, det_params, save_params,
+    sampling = FrameSampling(step=1)                     # 1s step @ 10fps -> frames 10,20,30
+    criteria = BoxCriteria(scale=(1.0, 1.0, 1.0, 1.0), square=False)
+    layout = OutputLayout(out_dir, save_frames=True, save_rejects=True,
+                          save_dupes=True)               # exercise all debug outputs
+    paths = detect_faces([video], FakeDetector(), sampling, criteria, layout,
                          hash_thr=8)
 
     # frames 10, 20, 30 each yield 1 passing box; random green channel keeps
@@ -130,10 +132,9 @@ def test_detect_faces_multifile_prefix(tmp_path):
     _write_test_video(v2, n_frames=25)
     out_dir = str(tmp_path / "out")
     os.makedirs(out_dir)
-    det_params = (4, 0.4, 50, 5, (1.0, 1.0, 1.0, 1.0), False)
-    save_params = (out_dir, "", None, False, False, False)
-    paths = detect_faces([v1, v2], FakeDetector(), (1, None, None, "opencv"),
-                         det_params, save_params, hash_thr=None)
+    paths = detect_faces([v1, v2], FakeDetector(), FrameSampling(step=1),
+                         BoxCriteria(scale=(1.0, 1.0, 1.0, 1.0), square=False),
+                         OutputLayout(out_dir), hash_thr=None)
     names = sorted(osp.basename(p) for p in paths)
     assert any(n.startswith("01_") for n in names)
     assert any(n.startswith("02_") for n in names)

@@ -6,6 +6,7 @@ import numpy as np
 
 from videotofaces_tpu.pipeline import grouping as G
 from videotofaces_tpu.pipeline.dupes import remove_dupes_overall
+from videotofaces_tpu.specs import ClusterSpec, EncodeSpec, OutputLayout
 
 from test_api import FakeEncoder
 
@@ -29,7 +30,7 @@ def _faces_dir(tmp_path, n=8):
 def test_cluster_faces_layout_and_log(tmp_path):
     out, faces, paths = _faces_dir(tmp_path)
     x = FakeEncoder()([cv2.imread(p) for p in paths])
-    G.cluster_faces(paths, x, ([2, 3], False, 0, True, out))
+    G.cluster_faces(paths, x, ClusterSpec([2, 3], False, 0, True), out)
     # best k chosen, images copied into <label>/ and originals removed
     log = osp.join(faces, "log_clustering.csv")
     assert osp.isfile(log)
@@ -46,7 +47,7 @@ def test_cluster_faces_layout_and_log(tmp_path):
 def test_cluster_faces_save_all(tmp_path):
     out, faces, paths = _faces_dir(tmp_path)
     x = FakeEncoder()([cv2.imread(p) for p in paths])
-    G.cluster_faces(paths, x, ([2, 4], True, 0, False, out))
+    G.cluster_faces(paths, x, ClusterSpec([2, 4], True, 0, False), out)
     assert osp.isdir(osp.join(faces, "G2"))
     assert osp.isdir(osp.join(faces, "G4"))
     assert len(os.listdir(osp.join(faces, "G4"))) == 4
@@ -79,15 +80,17 @@ def test_test_grouping_harness(tmp_path, capsys):
     orig = GM.get_encoder_model
     GM.get_encoder_model = lambda *a: FakeEncoder()
     try:
-        G.test_grouping(paths, refs, ("live", "facenet_vgg", None, out, False,
-                                      4, None, None, 0))
+        G.test_grouping(paths, refs, "live", "facenet_vgg", None, out, False,
+                        EncodeSpec(batch_size=4), None, 0)
     finally:
         GM.get_encoder_model = orig
-    printed = capsys.readouterr().out
-    assert "classification accuracy / rand score" in printed
-    # dark images are labeled 1 and match the dark ref -> perfect accuracy line
-    first = [ln for ln in printed.splitlines() if "/" in ln][0]
-    acc = float(first.split("/")[0])
+    printed = capsys.readouterr().out.splitlines()
+    tagline = "classification accuracy / rand score for clustering / silhouette score for clustering"
+    assert tagline in printed
+    # the metrics line precedes the tagline; dark images are labeled 1 and
+    # match the dark ref -> perfect accuracy
+    metrics = printed[printed.index(tagline) - 1]
+    acc = float(metrics.split("/")[0])
     assert acc == 1.0
 
 
@@ -97,7 +100,8 @@ def test_remove_dupes_overall_moves_and_logs(tmp_path):
     feats = np.stack([np.ones(8), np.ones(8) * 2, np.ones(8),
                       np.asarray([1, 0, 0, 0, 0, 0, 0, 0.0]), np.ones(8)]).astype(np.float32)
     os.makedirs(osp.join(out, "intermediate"), exist_ok=True)
-    x, goods = remove_dupes_overall(feats, paths, ("enc", 0.05, True, out))
+    x, goods = remove_dupes_overall(feats, paths, "enc", 0.05,
+                                    OutputLayout(out, save_dupes=True))
     assert len(goods) == 2
     dupes_dir = osp.join(out, "intermediate", "dupes3")
     assert len(os.listdir(dupes_dir)) == 3

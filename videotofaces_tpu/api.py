@@ -1,21 +1,83 @@
-"""`video_to_faces` — the single public entry point.
+"""``video_to_faces`` — the single public entry point.
 
-Keyword-for-keyword API parity with the reference orchestrator (main.py:13-82):
-same 27 kwargs, same defaults, same mode semantics (full / detection /
-grouping), same model-default resolution (anime -> rcnn+vit_b, live ->
-yolo+facenet_vgg), same output layout. ``device`` is accepted for
-compatibility; placement is managed by JAX (single chip or a data-parallel
-mesh — see parallel/).
+External contract matches the reference orchestrator exactly (main.py:13-82):
+the same 27 keyword arguments with the same defaults, the same three modes
+(``full`` / ``detection`` / ``grouping``), the same per-style model defaults
+(anime -> rcnn + vit_b, live -> yolo + facenet_vgg) and the same on-disk
+output layout. Internally the stage parameters travel as typed spec objects
+(specs.py) rather than positional tuples, and each stage is a small private
+runner so the mode logic reads as a plan instead of a chain of guards.
+
+``device`` is accepted for compatibility only: placement is JAX's job, and on
+multi-chip hosts the model factories shard work over the whole mesh by
+default (pipeline/mesh_auto — set V2F_SINGLE_DEVICE=1 to opt out).
 """
 
 import os.path as osp
+from typing import NamedTuple, Optional
 
-from .prep import (validate_args, get_clusters, get_class_ref,
-                   get_paths_for_grouping, get_video_list)
+from . import prep
 from .pipeline.detection import get_detector_model, detect_faces
 from .pipeline.grouping import (get_encoder_model, encode_faces, cluster_faces,
                                 classify_faces, test_grouping)
 from .pipeline.dupes import remove_dupes_overall
+from .specs import (BoxCriteria, ClassifySpec, ClusterSpec, EncodeSpec,
+                    FrameSampling, OutputLayout)
+
+_STYLE_DEFAULTS = {"anime": ("rcnn", "vit_b"), "live": ("yolo", "facenet_vgg")}
+
+
+class _GroupingPlan(NamedTuple):
+    """Inputs the grouping stage needs, resolved up front so a bad spec fails
+    before any model loads."""
+
+    clusters: Optional[list]     # candidate k values (clustering / eval)
+    refs: Optional[list]         # [(class, [paths])] (classification / eval)
+    paths: Optional[list]        # pre-existing face images (grouping mode)
+
+
+def _plan_grouping(mode, group_mode, clusters, ref_dir, out_dir, want_eval):
+    """Returns a _GroupingPlan, or None when a required input is unavailable
+    (the error was already printed, reference-style)."""
+    ks = refs = paths = None
+    if group_mode == "clustering" or want_eval:
+        ks = prep.get_clusters(clusters)
+        if not ks:
+            return None
+    if group_mode == "classification" or want_eval:
+        refs = prep.get_class_ref(ref_dir, out_dir)
+        if not refs:
+            return None
+    if mode == "grouping":
+        paths = prep.get_paths_for_grouping(out_dir)
+        if not paths:
+            return None
+    return _GroupingPlan(ks, refs, paths)
+
+
+def _run_detection(input_path, input_ext, style, det_model, device,
+                   sampling, criteria, layout, hash_thr):
+    """Detection stage: videos -> face crops on disk. Returns their paths,
+    or None when no input videos were found."""
+    videos = prep.get_video_list(input_path, input_ext)
+    if not videos:
+        return None
+    detector = get_detector_model(style, det_model, device)
+    return detect_faces(videos, detector, sampling, criteria, layout, hash_thr)
+
+
+def _run_grouping(paths, plan, style, enc_model, device, group_mode,
+                  encode_spec, cluster_spec, classify_spec, layout):
+    """Grouping stage: face crops -> embeddings -> folders per person."""
+    encoder = get_encoder_model(style, enc_model, device)
+    features = encode_faces(paths, encoder, encode_spec.batch_size, encode_spec.area)
+    thr = encode_spec.dup_thr
+    if thr and thr != -1:
+        features, paths = remove_dupes_overall(features, paths, "enc", thr, layout)
+    if group_mode == "clustering":
+        cluster_faces(paths, features, cluster_spec, layout.root)
+    if group_mode == "classification":
+        classify_faces(paths, features, encoder, classify_spec, layout.root)
 
 
 def video_to_faces(input_path=None, input_ext=None,
@@ -32,58 +94,54 @@ def video_to_faces(input_path=None, input_ext=None,
                    enc_dup_thr=0.25, enc_oth_thr=0.9,
                    _test_enc=False, _test_exclude_other=False):
 
-    if not validate_args(mode, input_path, out_dir, style, group_mode, video_reader,
-                         det_model, enc_model):
+    if not prep.validate_args(mode, input_path, out_dir, style, group_mode,
+                              video_reader, det_model, enc_model):
         return
 
-    if det_model == 'default':
-        det_model = 'rcnn' if style == 'anime' else 'yolo'
-    if enc_model == 'default':
-        enc_model = 'vit_b' if style == 'anime' else 'facenet_vgg'
-
+    det_default, enc_default = _STYLE_DEFAULTS[style]
+    det_model = det_default if det_model == 'default' else det_model
+    enc_model = enc_default if enc_model == 'default' else enc_model
     if not out_dir:
-        out_dir = input_path if osp.isdir(input_path) else osp.dirname(osp.abspath(input_path))
+        out_dir = (input_path if osp.isdir(input_path)
+                   else osp.dirname(osp.abspath(input_path)))
 
-    if mode != 'detection' and (group_mode == 'clustering' or _test_enc):
-        clusters = get_clusters(clusters)
-        if not clusters:
-            return
-    if mode != 'detection' and (group_mode == 'classification' or _test_enc):
-        refs = get_class_ref(ref_dir, out_dir)
-        if not refs:
-            return
-    if mode == 'grouping':
-        imgpaths = get_paths_for_grouping(out_dir)
-        if not imgpaths:
-            return
-    if mode in ('full', 'detection'):
-        files = get_video_list(input_path, input_ext)
-        if not files:
-            return
-        vid_params = (video_step, video_fragment, video_area, video_reader)
-        det_params = (det_batch_size, det_min_score, det_min_size, det_min_border,
-                      det_scale, det_square)
-        save_params = (out_dir, out_prefix, resize_to, save_frames, save_rejects, save_dupes)
+    detecting = mode in ('full', 'detection')
+    grouping = mode in ('full', 'grouping')
 
-        detector = get_detector_model(style, det_model, device)
-        imgpaths = detect_faces(files, detector, vid_params, det_params, save_params, hash_thr)
+    plan = None
+    if grouping:
+        plan = _plan_grouping(mode, group_mode, clusters, ref_dir, out_dir, _test_enc)
+        if plan is None:
+            return
 
-    if mode in ('full', 'grouping') and imgpaths:
+    layout = OutputLayout(root=out_dir, prefix=out_prefix, resize_to=resize_to,
+                          save_frames=save_frames, save_rejects=save_rejects,
+                          save_dupes=save_dupes)
+
+    faces = plan.paths if plan else None
+    if detecting:
+        sampling = FrameSampling(step=video_step, fragment=video_fragment,
+                                 area=video_area, reader=video_reader)
+        criteria = BoxCriteria(batch_size=det_batch_size, min_score=det_min_score,
+                               min_size=det_min_size, min_border=det_min_border,
+                               scale=det_scale, square=det_square)
+        faces = _run_detection(input_path, input_ext, style, det_model, device,
+                               sampling, criteria, layout, hash_thr)
+        if faces is None:
+            return
+
+    if grouping and faces:
         if _test_enc:
-            test_params = (style, enc_model, device, out_dir, _test_exclude_other,
-                           enc_batch_size, enc_area, enc_oth_thr, random_state)
-            test_grouping(imgpaths, refs, test_params)
+            test_grouping(faces, plan.refs, style, enc_model, device, out_dir,
+                          _test_exclude_other,
+                          EncodeSpec(enc_batch_size, enc_area, enc_dup_thr),
+                          enc_oth_thr, random_state)
             return
-        encoder = get_encoder_model(style, enc_model, device)
-        features = encode_faces(imgpaths, encoder, enc_batch_size, enc_area)
-        if enc_dup_thr and enc_dup_thr != -1:
-            dup_params = ('enc', enc_dup_thr, save_dupes, out_dir)
-            features, imgpaths = remove_dupes_overall(features, imgpaths, dup_params)
-        if group_mode == 'clustering':
-            cluster_params = (clusters, clusters_save_all, random_state, group_log, out_dir)
-            cluster_faces(imgpaths, features, cluster_params)
-        if group_mode == 'classification':
-            classif_params = (refs, enc_oth_thr, group_log, out_dir)
-            classify_faces(imgpaths, features, encoder, classif_params)
+        _run_grouping(
+            faces, plan, style, enc_model, device, group_mode,
+            EncodeSpec(enc_batch_size, enc_area, enc_dup_thr),
+            ClusterSpec(plan.clusters, clusters_save_all, random_state, group_log),
+            ClassifySpec(plan.refs or (), enc_oth_thr, group_log),
+            layout)
 
     print('Done')

@@ -33,27 +33,32 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
 }
 
-_state = {"precision": "highest"}
+# ContextVar (not a module-level dict) so precision_scope composes with the
+# async pipeline: each thread/task sees its own scope and two models with
+# different precision needs cannot race each other's setting.
+import contextvars
+
+_precision = contextvars.ContextVar("v2f_precision", default="highest")
 
 
 def set_precision(name: str):
     assert name in _PRECISIONS, f"unknown precision {name!r}"
-    _state["precision"] = name
+    _precision.set(name)
 
 
 def get_precision():
-    return _PRECISIONS[_state["precision"]]
+    return _PRECISIONS[_precision.get()]
 
 
 def get_precision_name():
-    return _state["precision"]
+    return _precision.get()
 
 
 @contextlib.contextmanager
 def precision_scope(name: str):
-    prev = _state["precision"]
-    set_precision(name)
+    assert name in _PRECISIONS, f"unknown precision {name!r}"
+    token = _precision.set(name)
     try:
         yield
     finally:
-        set_precision(prev)
+        _precision.reset(token)

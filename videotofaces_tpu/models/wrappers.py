@@ -31,15 +31,17 @@ def _resolve_params(model, example, checkpoint):
     return variables["params"]
 
 
-def _jit_fwd(fn, mesh):
-    """jit a (params, batch) -> batched-outputs fn, optionally SPMD over a
-    1-axis 'data' mesh: params replicated, batch and outputs sharded on their
-    leading axis. XLA partitions the whole graph (model + postprocess)."""
+def _jit_fwd(fn, mesh, n_batch_args=1):
+    """jit a (params, *batches) -> batched-outputs fn, optionally SPMD over a
+    1-axis 'data' mesh: params replicated, the batch args and outputs sharded
+    on their leading axis. XLA partitions the whole graph (model +
+    postprocess)."""
     if mesh is None:
         return jax.jit(fn)
     from ..parallel.mesh import batch_sharding, replicated
 
-    return jax.jit(fn, in_shardings=(replicated(mesh), batch_sharding(mesh)),
+    return jax.jit(fn,
+                   in_shardings=(replicated(mesh),) + (batch_sharding(mesh),) * n_batch_args,
                    out_shardings=batch_sharding(mesh))
 
 
@@ -180,7 +182,9 @@ class _Encoder:
                                                 scale, mean, swap_rb=True)
                 return self.model.apply({"params": params}, x)
 
-            self._fn_cache[key] = jax.jit(fwd)
+            # both packed images and their sizes shard on the batch axis, so
+            # device_resize composes with data parallelism
+            self._fn_cache[key] = _jit_fwd(fwd, self.mesh, n_batch_args=2)
         return self._fn_cache[key]
 
     def __call__(self, images):
@@ -377,10 +381,18 @@ class MtcnnDetector:
     def collect(self, handle, return_landmarks=False):
         out, n = handle
         boxes, scores, lmk, valid, counts = jax.device_get(out)
-        if int(np.asarray(counts["stage1"]).max()) > self.caps.pre1:
-            print("WARNING: MTCNN stage-1 candidates exceeded buffer capacity "
-                  "(%d > %d); results may drop low-scoring faces. Increase Caps.pre1."
-                  % (int(np.asarray(counts["stage1"]).max()), self.caps.pre1))
+        # every stage's surviving-candidate count is surfaced by the graph;
+        # warn whenever survivors exceed the NEXT fixed-capacity buffer (that
+        # is where truncation happens — a busy frame at min_face_size=5 can
+        # overflow stage2/3 without ever tripping stage1)
+        for stage, cap_name in [("stage1", "pre1"), ("stage2", "stage3"),
+                                ("stage3", "out")]:
+            cap = getattr(self.caps, cap_name)
+            seen = int(np.asarray(counts[stage]).max())
+            if seen > cap:
+                print("WARNING: MTCNN %s survivors exceeded buffer capacity "
+                      "(%d > %d); results may drop low-scoring faces. "
+                      "Increase Caps.%s." % (stage, seen, cap, cap_name))
         res, ldm = [], []
         for i in range(n):
             v = valid[i]

@@ -4,16 +4,21 @@ Behavioral contract (reference dupes.py):
 
 1. ``remove_dupes_nearest`` — during detection, each new face's 8x8 average
    hash is compared to the previous 5 *kept* hashes; hamming distance <= thr
-   marks a duplicate (window [-5:], dupes.py:18-48). Host-side: the window is
-   tiny and sequential.
+   marks a duplicate (window [-5:], dupes.py:18-48).
 2. ``remove_dupes_overall('hash')`` — all-pairs hamming over survivors; a face
    is a duplicate if some EARLIER face is within thr (lower-triangle masking,
-   dupes.py:51-93). The N^2 Gram matrix runs on device as matmuls.
+   dupes.py:51-93).
 3. ``remove_dupes_overall('enc')`` — same with cosine distances over
    embeddings (main.py:72-74).
 
 Duplicates are deleted, or moved to intermediate/dupesN with log_dupesN.csv
 when save_dupes is set.
+
+Hash representation: cv2 computes the 8x8 average hash (bit-exact with the
+reference) but it is stored PACKED as one uint64 per face. Hamming distances
+are integer popcounts — exact regardless of backend — so the hot paths run in
+the native C++ library (utils/native.py, hamming_all_pairs_nearest) with pure
+numpy/device fallbacks; cosine distances run as device Gram matrices.
 """
 
 import os
@@ -23,85 +28,96 @@ import cv2
 import numpy as np
 
 from ..ops import distances as D
+from ..utils import native as NV
 from ..utils.image import resize_keep_ratio
+
+_WINDOW = 5  # how many kept predecessors each new face is checked against
 
 
 def ahash(img_bgr):
-    """64-bit average hash: gray -> 8x8 -> (> mean), as {0,1} int vector.
-    Uses cv2 for bit-exact parity with the reference (dupes.py:11-15)."""
+    """64-bit average hash, packed into one uint64 (bit k = cell k > mean).
+    The gray/resize math uses cv2 for bit-exact parity with the reference
+    (dupes.py:11-15)."""
     gray = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2GRAY)
     tiny = cv2.resize(gray, (8, 8))
-    return (tiny > tiny.mean()).astype(np.int64).flatten()
+    bits = (tiny > tiny.mean()).flatten()
+    return int(NV.pack_bits(bits[None])[0])
 
 
-def remove_dupes_nearest(faces, hashes, hash_thr, save_params):
-    """faces: list[(img, filename)]; hashes: running list[(hash, filename)] of
-    kept faces. Returns (kept faces, updated hashes)."""
-    out_dir, _, resize_to, _, _, save_dupes = save_params
-    kept = []
-    log = []
+def hamming(a, b):
+    """Popcount of two packed uint64 hashes."""
+    return int(a ^ b).bit_count()
+
+
+def remove_dupes_nearest(faces, hashes, hash_thr, layout):
+    """Window dedup for one batch. ``faces``: list[(img, filename)];
+    ``hashes``: running list[(packed_hash, filename)] of every face kept so
+    far this video. Returns (kept faces, updated hashes)."""
+    kept, log = [], []
     for img, fn in faces:
         h = ahash(img)
         if not hashes:
             hashes.append((h, fn))
             kept.append((img, fn))
             continue
-        window = hashes[-5:]
-        diffs = [int(np.count_nonzero(h != p)) for (p, _) in window]
-        k = int(np.argmin(diffs))
-        md, md_fn = diffs[k], window[k][1]
-        log.append("%s,%s,%u,%u" % (fn, md_fn, md, int(md <= hash_thr)))
-        if md <= hash_thr:
-            if save_dupes:
-                dup = img if not resize_to else resize_keep_ratio(img, resize_to)
-                cv2.imwrite(osp.join(out_dir, "intermediate", "dupes1", fn), dup)
-        else:
+        window = hashes[-_WINDOW:]
+        dists = [hamming(h, prev) for (prev, _) in window]
+        best = int(np.argmin(dists))
+        d, near_fn = dists[best], window[best][1]
+        log.append((fn, near_fn, d, int(d <= hash_thr)))
+        if d > hash_thr:
             hashes.append((h, fn))
             kept.append((img, fn))
+        elif layout.save_dupes:
+            dup = img if not layout.resize_to else resize_keep_ratio(img, layout.resize_to)
+            cv2.imwrite(layout.intermediate("dupes1", fn), dup)
 
-    if save_dupes and log:
-        log_fn = osp.join(out_dir, "intermediate", "log_dupes1.csv")
-        header = not osp.exists(log_fn)
+    if layout.save_dupes and log:
+        log_fn = layout.intermediate("log_dupes1.csv")
+        fresh = not osp.exists(log_fn)
         with open(log_fn, "a") as f:
-            if header:
+            if fresh:
                 f.write("file_name,nearest_in_prev_5,hash_diff,marked_as_duplicate\n")
-            f.write("".join(line + "\n" for line in log))
+            for row in log:
+                f.write("%s,%s,%u,%u\n" % row)
     return kept, hashes
 
 
-def remove_dupes_overall(x, filenames, dup_params):
-    """All-pairs dedup against earlier faces. ``x``: [N, D] hashes ({0,1}) or
-    embeddings; returns (x without duplicates, surviving filenames)."""
-    measure_type, threshold, save_dupes, out_dir = dup_params
-    n = x.shape[0]
-    if n == 0:
+def _nearest_earlier(x, measure_type):
+    """(min distance, argmin index) over all EARLIER rows, per row."""
+    if measure_type == "hash":
+        packed = np.ascontiguousarray(x, dtype=np.uint64)
+        return NV.hamming_nearest_earlier(packed)  # native C++ or numpy
+    mins, inds = D.dedup_cosine(np.asarray(x, dtype=np.float32))  # device Gram
+    return np.asarray(mins), np.asarray(inds)
+
+
+def remove_dupes_overall(x, filenames, measure_type, threshold, layout):
+    """All-pairs dedup against earlier faces. ``x``: [N] packed uint64 hashes
+    or [N, D] embeddings; returns (x without duplicates, surviving names)."""
+    if len(filenames) == 0:
         return x, filenames
 
-    if measure_type == "hash":
-        mins, inds = D.dedup_hash(np.asarray(x))
-    else:
-        mins, inds = D.dedup_cosine(np.asarray(x, dtype=np.float32))
-    mins = np.asarray(mins)
-    inds = np.asarray(inds)
+    mins, inds = _nearest_earlier(x, measure_type)
     is_dup = mins <= threshold
-    is_dup[0] = False  # row 0 has no earlier face (mask adds >= 10000)
+    is_dup[0] = False  # row 0 has no earlier face (sentinel distance 10000)
 
-    dupes = [fn for i, fn in enumerate(filenames) if is_dup[i]]
-    goods = [fn for i, fn in enumerate(filenames) if not is_dup[i]]
+    dupes = [fn for fn, d in zip(filenames, is_dup) if d]
+    goods = [fn for fn, d in zip(filenames, is_dup) if not d]
     x = np.asarray(x)[~is_dup]
 
-    if not save_dupes:
+    if not layout.save_dupes:
         for fn in dupes:
-            os.remove(osp.join(out_dir, "faces", osp.basename(fn)))
+            os.remove(layout.face_path(osp.basename(fn)))
     else:
-        digit, colname = ("2", "hash_diff") if measure_type == "hash" else ("3", "distance")
-        dup_dir = osp.join(out_dir, "intermediate", "dupes" + digit)
+        part, colname = ("2", "hash_diff") if measure_type == "hash" else ("3", "distance")
+        dup_dir = layout.intermediate("dupes" + part)
         os.makedirs(dup_dir, exist_ok=True)
         for fn in dupes:
             base = osp.basename(fn)
-            os.replace(osp.join(out_dir, "faces", base), osp.join(dup_dir, base))
-        with open(osp.join(out_dir, "intermediate", "log_dupes" + digit + ".csv"), "w") as f:
-            f.write("file_name,nearest_in_prev," + colname + ",marked_as_duplicate\n")
+            os.replace(layout.face_path(base), osp.join(dup_dir, base))
+        with open(layout.intermediate("log_dupes%s.csv" % part), "w") as f:
+            f.write("file_name,nearest_in_prev,%s,marked_as_duplicate\n" % colname)
             for i in range(1, len(filenames)):
                 f.write("%s,%s,%s,%s\n" % (filenames[i], filenames[inds[i]],
                                            str(mins[i]), "1" if is_dup[i] else "0"))

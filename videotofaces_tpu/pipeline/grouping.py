@@ -14,10 +14,10 @@ Behavioral contract (reference grouping.py):
   accuracy / rand score / silhouette (grouping.py:140-172).
 
 Device work (embeddings, cosine Gram matrices, K-means, scores) runs in JAX;
-this module is the host orchestration and file shuffling around it.
+this module is the host orchestration: batching images to the encoder and
+distributing files into group folders. Stage timings are reported per run.
 """
 
-import math
 import os
 import os.path as osp
 import shutil
@@ -30,141 +30,173 @@ from ..ops import distances as D
 from ..ops.kmeans import kmeans_fit
 from ..utils.image import crop_to_area
 from ..utils.pbar import tqdm
+from ..utils.profiling import StageTimer, trace
+from .mesh_auto import default_mesh
 
 
-def get_encoder_model(style, enc_model, device=None):
+def get_encoder_model(style, enc_model, device=None, mesh="auto", **model_kw):
     """String-dispatch encoder factory (reference grouping.py:19-26; extended
-    so any encoder can pair with any style)."""
+    so any encoder can pair with any style). ``mesh="auto"`` shards encoding
+    over all local devices — see detection.get_detector_model."""
+    if mesh == "auto":
+        mesh = default_mesh()
     if enc_model.startswith("vit") or (enc_model == "default" and style == "anime"):
         from ..models.wrappers import VitEncoder
 
         large = False if enc_model == "default" else enc_model[-1] == "l"
-        return VitEncoder(device, large)
+        return VitEncoder(device, large, mesh=mesh, **model_kw)
     if enc_model.startswith("facenet") or (enc_model == "default" and style == "live"):
         from ..models.wrappers import FaceNetEncoder
 
         casia = False if enc_model == "default" else enc_model.split("_")[1] == "casia"
-        return FaceNetEncoder(device, casia)
+        return FaceNetEncoder(device, casia, mesh=mesh, **model_kw)
     return 0
 
 
+def _batched(seq, size):
+    for i in range(0, len(seq), size):
+        yield seq[i:i + size]
+
+
+def _write_csv(path, header, rows):
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for r in rows:
+            f.write(",".join(str(v) for v in r) + "\n")
+
+
 def encode_faces(paths, model, batch_size, area):
+    """Read face crops from disk in batches and embed them on device."""
     print("Extracting features from images for grouping")
     if getattr(model, "batch_size", False) is None:
         model.batch_size = batch_size
-    feats = []
-    with tqdm(total=len(paths)) as pbar:
-        for b in range(math.ceil(len(paths) / batch_size)):
-            images = [cv2.imread(p) for p in paths[batch_size * b: batch_size * (b + 1)]]
-            if area:
-                images = [crop_to_area(img, area) for img in images]
-            xk = model(images)
-            feats.append(xk)
-            pbar.update(xk.shape[0])
-    return np.concatenate(feats)
+    timer = StageTimer()
+    chunks = []
+    with trace(), tqdm(total=len(paths)) as pbar:
+        for group in _batched(paths, batch_size):
+            with timer.stage("encode:read"):
+                images = [cv2.imread(p) for p in group]
+                if area:
+                    images = [crop_to_area(img, area) for img in images]
+            with timer.stage("encode:forward", items=len(images)):
+                chunks.append(model(images))
+            pbar.update(chunks[-1].shape[0])
+    timer.report()
+    return np.concatenate(chunks)
 
 
 def encode_refs(refs, model):
-    rpaths = [ps[0] for (_, ps) in refs]
-    return model([cv2.imread(p) for p in rpaths])
+    """One embedding per class: the first reference image of each."""
+    return model([cv2.imread(paths[0]) for (_, paths) in refs])
 
 
 def classify(x, r, classes, thr, log, paths, out_dir):
     """Cosine argmin vs reference embeddings; optional 'other' open set."""
     dist = np.asarray(D.cosine_gram(np.asarray(x, np.float32), np.asarray(r, np.float32)))
-    inds = dist.argmin(axis=1)
-    if thr and thr != -1:
-        mins = dist.min(axis=1)
-        inds = np.where(mins >= thr, len(classes), inds)
+    assigned = dist.argmin(axis=1)
+    open_set = bool(thr) and thr != -1
+    if open_set:
+        assigned = np.where(dist.min(axis=1) >= thr, len(classes), assigned)
         classes = classes + ["other"]
     if log:
-        fnames = [osp.basename(p) for p in paths]
-        with open(osp.join(out_dir, "faces", "log_classification.csv"), "w") as f:
-            extra = "(other_threshold=%s)" % str(thr) if thr else ""
-            f.write("file_name," + ",".join("dist_" + c for c in classes if c != "other")
-                    + ",assigned_to_class" + extra + "\n")
-            for i in range(x.shape[0]):
-                f.write("%s," % fnames[i] + ",".join("%.4f" % v for v in dist[i])
-                        + ",%s\n" % classes[inds[i]])
-    return inds, classes
+        known = [c for c in classes if c != "other"]
+        tail = "assigned_to_class" + ("(other_threshold=%s)" % str(thr) if thr else "")
+        rows = [[osp.basename(p)] + ["%.4f" % v for v in dist[i]] + [classes[assigned[i]]]
+                for i, p in enumerate(paths)]
+        _write_csv(osp.join(out_dir, "faces", "log_classification.csv"),
+                   ",".join(["file_name"] + ["dist_" + c for c in known] + [tail]),
+                   rows)
+    return assigned, classes
 
 
-def classify_faces(paths, x, model, classif_params):
-    refs, thr, log, out_dir = classif_params
-    classes = [c for (c, _) in refs]
+def _print_group_sizes(title, labels, names=None):
+    values, counts = np.unique(labels, return_counts=True)
+    parts = ["%s: %u" % (names[v] if names else str(v), c)
+             for v, c in zip(values, counts)]
+    print((title + ": " if title else "") + ", ".join(parts))
+
+
+def classify_faces(paths, x, model, spec, out_dir):
+    """Assign each face to its nearest reference class and move the files
+    (spec: specs.ClassifySpec)."""
+    classes = [name for (name, _) in spec.refs]
     print("Found %u classes in ref_dir: %s" % (len(classes), ", ".join(classes)))
     print("Extracting features from reference images")
-    r = encode_refs(refs, model)
+    r = encode_refs(spec.refs, model)
     print("Classifying images")
-    inds, classes = classify(x, r, classes, thr, log, paths, out_dir)
+    assigned, classes = classify(x, r, classes, spec.other_thr, spec.write_log,
+                                 paths, out_dir)
 
-    img_dir = osp.dirname(osp.abspath(paths[0]))
+    base = osp.dirname(osp.abspath(paths[0]))
     for c in classes:
-        os.makedirs(osp.join(img_dir, c), exist_ok=True)
-    for i, p in enumerate(paths):
-        os.replace(p, osp.join(img_dir, classes[inds[i]], osp.basename(p)))
+        os.makedirs(osp.join(base, c), exist_ok=True)
+    for p, lbl in zip(paths, assigned):
+        os.replace(p, osp.join(base, classes[lbl], osp.basename(p)))
 
     print("Grouped %u images into %u folders:" % (len(paths), len(classes)))
     for i, c in enumerate(classes):
-        print(c + ": " + str(int(np.count_nonzero(inds == i))))
+        print(c + ": " + str(int(np.count_nonzero(assigned == i))))
     print()
 
 
-def cluster_faces(paths, x, cluster_params):
-    clusters, save_all, rstate, log, out_dir = cluster_params
-    clusters = [c for c in clusters if c <= len(paths)]
+def cluster_faces(paths, x, spec, out_dir):
+    """K-means over the embeddings for each candidate k; keep the best k by
+    silhouette (or every k under G<k>/ when spec.keep_all). spec is a
+    specs.ClusterSpec."""
+    candidates = [k for k in spec.candidates if k <= len(paths)]
+    print("Clustering images into %s groups" % ", ".join(str(k) for k in candidates))
 
-    print("Clustering images into %s groups" % ", ".join(str(c) for c in clusters))
-    labels = [kmeans_fit(x, k, random_state=rstate)[0] for k in clusters]
+    timer = StageTimer()
+    runs = []  # (k, labels, silhouette, calinski-harabasz, davies-bouldin)
+    for k in candidates:
+        with timer.stage("cluster:kmeans k=%d" % k, items=len(paths)):
+            labels = kmeans_fit(x, k, random_state=spec.random_state)[0]
+        with timer.stage("cluster:scores"):
+            runs.append((k, labels,
+                         CS.silhouette_score(x, labels, k),
+                         CS.calinski_harabasz_score(x, labels, k),
+                         CS.davies_bouldin_score(x, labels, k)))
+    if spec.write_log:
+        _write_csv(osp.join(out_dir, "faces", "log_clustering.csv"),
+                   "n_clusters,silhouette_score,calinski_harabasz_score,davies_bouldin_score",
+                   [(k, s, c, d) for (k, _, s, c, d) in runs])
 
-    scores = []
-    for i, k in enumerate(clusters):
-        s1 = CS.silhouette_score(x, labels[i], k)
-        s2 = CS.calinski_harabasz_score(x, labels[i], k)
-        s3 = CS.davies_bouldin_score(x, labels[i], k)
-        scores.append((k, s1, s2, s3))
-    if log:
-        with open(osp.join(out_dir, "faces", "log_clustering.csv"), "w") as f:
-            f.write("n_clusters,silhouette_score,calinski_harabasz_score,davies_bouldin_score\n")
-            for sc in scores:
-                f.write("%u,%s,%s,%s\n" % sc)
-
-    if not save_all:
-        best_k = max(scores, key=lambda s: s[1])[0]
-        i = clusters.index(best_k)
-        clusters, labels = [clusters[i]], [labels[i]]
-        print("The number of groups chosen: %u" % best_k)
+    if not spec.keep_all:
+        best = max(runs, key=lambda r: r[2])
+        runs = [best]
+        print("The number of groups chosen: %u" % best[0])
 
     print("Grouped %u images into %s folders:"
-          % (len(paths), "/".join(str(c) for c in clusters)))
-    img_dir = osp.dirname(osp.abspath(paths[0]))
-    for i, k in enumerate(clusters):
-        sub = "G%u" % k if len(clusters) > 1 else ""
+          % (len(paths), "/".join(str(k) for (k, *_) in runs)))
+    base = osp.dirname(osp.abspath(paths[0]))
+    for k, labels, *_ in runs:
+        sub = "G%u" % k if len(runs) > 1 else ""
         for j in range(k):
-            os.makedirs(osp.join(img_dir, sub, str(j)), exist_ok=True)
-        for j, p in enumerate(paths):
-            shutil.copyfile(p, osp.join(img_dir, sub, str(labels[i][j]), osp.basename(p)))
-        values, counts = np.unique(labels[i], return_counts=True)
-        print((sub + ": " if sub else "") + ", ".join("%u: %u" % (v, c)
-                                                      for v, c in zip(values, counts)))
+            os.makedirs(osp.join(base, sub, str(j)), exist_ok=True)
+        for p, lbl in zip(paths, labels):
+            shutil.copyfile(p, osp.join(base, sub, str(lbl), osp.basename(p)))
+        _print_group_sizes(sub, labels)
     print()
+    timer.report()
     for p in paths:
         os.remove(p)
 
 
-def test_grouping(paths, refs, test_params):
-    """Embedding-quality eval harness (reference grouping.py:140-155)."""
-    style, enc_model, device, out_dir, exclude_other, bs, area, thr, rstate = test_params
+def test_grouping(paths, refs, style, enc_model, device, out_dir, exclude_other,
+                  encode_spec, other_thr, random_state):
+    """Embedding-quality eval harness (reference grouping.py:140-155): prints
+    classification accuracy vs labels.txt, rand score and silhouette for
+    clustering at the ground-truth k."""
     gt, paths, n_clusters = get_ground_truths(paths, out_dir, exclude_other)
     model = get_encoder_model(style, enc_model, device)
-    x = encode_faces(paths, model, bs, area)
+    x = encode_faces(paths, model, encode_spec.batch_size, encode_spec.area)
     r = encode_refs(refs, model)
 
-    inds, _ = classify(x, r, [c for (c, _) in refs],
-                       None if exclude_other else thr, True, paths, out_dir)
-    acc = np.count_nonzero(inds + 1 == gt) / gt.size
+    assigned, _ = classify(x, r, [name for (name, _) in refs],
+                           None if exclude_other else other_thr, True, paths, out_dir)
+    acc = np.count_nonzero(assigned + 1 == gt) / gt.size
 
-    labels, _, _ = kmeans_fit(x, n_clusters, random_state=rstate)
+    labels = kmeans_fit(x, n_clusters, random_state=random_state)[0]
     rand_scr = CS.rand_score(gt, labels)
     silh_scr = CS.silhouette_score(x, labels, n_clusters)
 

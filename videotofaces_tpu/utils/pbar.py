@@ -1,38 +1,30 @@
-"""Progress reporting: tqdm when present, a same-line printer otherwise.
-
-Mirrors the reference's graceful degradation (utils/pbar.py:2-37) so pipeline
-code can unconditionally wrap loops in ``tqdm(...)``.
-"""
+"""Progress reporting. tqdm ships with this environment; a tiny carriage-
+return printer keeps the pipeline importable if it is ever absent."""
 
 try:
     from tqdm.auto import tqdm  # type: ignore  # noqa: F401
-except ImportError:  # pragma: no cover - depends on environment
-    try:
-        from tqdm import tqdm  # type: ignore  # noqa: F401
-    except ImportError:
+except ImportError:  # pragma: no cover — tqdm is a baked-in dependency
 
-        class tqdm:  # noqa: N801 - match the real API name
-            """Minimal same-line progress printer (iterations, or MB when unit='B')."""
+    class tqdm:  # noqa: N801 — drop-in for the real API
+        def __init__(self, total=None, unit=None, **_ignored):
+            self.total, self.n = total, 0
+            self._scale = 1024 ** 2 if unit == "B" else 1  # bytes -> MB
 
-            def __init__(self, total=None, unit=None, unit_scale=None, unit_divisor=None):
-                self.n = 0
-                self.as_bytes = unit == "B"
-                self.total = total / 1024**2 if (total and self.as_bytes) else total
+        def update(self, k):
+            self.n += k
+            done = self.n // self._scale
+            if self.total:
+                goal = self.total // self._scale
+                print("\r%d/%d (%d%%)" % (done, goal, 100 * done // max(goal, 1)),
+                      end="", flush=True)
+            else:
+                print("\r%d" % done, end="", flush=True)
 
-            def update(self, n):
-                self.n += int(n / 1024**2) if self.as_bytes else n
-                suffix = "MB" if self.as_bytes else ""
-                if self.total is None:
-                    print("\r%d%s" % (self.n, suffix), end="")
-                else:
-                    pct = int(100.0 * self.n / self.total + 0.5) if self.total else 100
-                    print("\r%d/%d%s (%d%%)" % (self.n, self.total, suffix, pct), end="")
+        def close(self):
+            print("\r")
 
-            def close(self):
-                print("\r")
+        def __enter__(self):
+            return self
 
-            def __enter__(self):
-                return self
-
-            def __exit__(self, *exc):
-                self.close()
+        def __exit__(self, *_exc):
+            self.close()
