@@ -106,3 +106,28 @@ def test_yolo_bf16_mode_matches_f32(tmp_path, rng):
     assert n > 0
     assert abs(len(s0[0]) - len(s1[0])) <= 2  # threshold-straddling tolerance
     np.testing.assert_allclose(s0[0][:5], s1[0][:5], atol=0.03)
+
+
+def test_mtcnn_overflow_warning(tmp_path, capsys, rng):
+    """A Caps too small for the candidate load must WARN (graceful truncation,
+    never a crash) — stage2/stage3 checks included, not just stage1."""
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.models.wrappers import MtcnnDetector
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    # bias every subnet's face-class logit up so (nearly) every cell/crop is a
+    # candidate; with a tiny Caps that overflows every stage
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(6.0)
+    caps = M.Caps(pre1=8, post1=8, cross=16, stage2=8, stage3=8, out=4)
+    det = MtcnnDetector(params=params, min_face_size=20, caps=caps)
+    frames = [rng.integers(0, 255, size=(96, 128, 3)).astype(np.uint8)]
+    res = det(frames)
+    printed = capsys.readouterr().out
+    assert "exceeded buffer capacity" in printed
+    assert len(res) == 1 and res[0].shape[1] == 5  # truncated, still well-formed
+    assert res[0].shape[0] <= 4

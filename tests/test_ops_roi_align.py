@@ -51,7 +51,11 @@ def np_roi_align_single(fmap, box, stride, out=7):
     return res
 
 
-def test_roi_align_matches_oracle(rng):
+import pytest
+
+
+@pytest.mark.parametrize("method", ["dense", "gather"])
+def test_roi_align_matches_oracle(rng, method):
     strides = (4, 8, 16, 32)
     sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]  # 256x384 input
     fmaps = [rng.normal(size=(h, w, 8)).astype(np.float32) for (h, w) in sizes]
@@ -66,7 +70,8 @@ def test_roi_align_matches_oracle(rng):
     ], dtype=np.float32)
 
     got = np.asarray(RA.roi_align_multilevel(
-        [jnp.asarray(f) for f in fmaps], jnp.asarray(boxes), strides, window=56, chunk=4))
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(boxes), strides, window=56,
+        chunk=4, method=method))
 
     lv = np.asarray(RA.assign_fpn_levels(jnp.asarray(boxes)))
     for i, box in enumerate(boxes):

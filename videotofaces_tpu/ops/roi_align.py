@@ -71,10 +71,76 @@ def _axis_weights(c1, c2, true_size, k, window_start, window, out_size=7, k_max=
 
 
 def roi_align_multilevel(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
-                         window=56, chunk=64):
+                         window=56, chunk=8, method="dense"):
     """fmaps: list of [H_l, W_l, C] (ONE image; vmap over the batch).
     boxes: [R, 4] in input-pixel coords. Returns [R, out, out, C].
+
+    method="dense" (default): per-level separable pooling as two dense
+    matmuls against the WHOLE feature map — [R,7,H] @ [H,W,C] @ [W,7] with
+    per-roi level selection folded into the weights. No gathers at all: the
+    feature map streams through the MXU at full HBM bandwidth. On-chip
+    bisection showed the patch-gather formulation costing ~64 ms/batch-2
+    (random 512B-row gathers); dense is an order of magnitude faster at a
+    modest FLOP premium (the weights are mostly zeros).
+
+    method="gather": the original windowed-patch formulation (kept for A/B
+    and for very large R where the dense FLOP premium could flip the trade).
     """
+    if method == "dense":
+        return _roi_align_dense(fmaps, boxes, strides, out_size, chunk)
+    return _roi_align_gather(fmaps, boxes, strides, out_size, window, max(chunk, 64))
+
+
+def _roi_align_dense(fmaps, boxes, strides, out_size=7, chunk=8):
+    # chunk=8 measured fastest on v5e (12.0 ms vs 14.2@16, 19.3@32, 28.5 for
+    # the gather method, batch-2 x 1000 rois): the [chunk, 7, W, C] intermediate
+    # stays in VMEM between the two contractions
+    num_levels = len(fmaps)
+    n = boxes.shape[0]
+    c = fmaps[0].shape[-1]
+    fast = config.get_precision_name() == "default"
+    prec = config.get_precision()
+    levels = assign_fpn_levels(boxes, num_levels)
+    zeros = jnp.zeros((n,), jnp.int32)
+
+    pad_to = -(-n // chunk) * chunk
+    n_chunks = pad_to // chunk
+    out = jnp.zeros((pad_to, out_size, out_size, c), jnp.float32)
+    for lv in range(num_levels):
+        f = fmaps[lv]
+        h, w = f.shape[0], f.shape[1]
+        scale = 1.0 / strides[lv]
+        x1 = boxes[:, 0] * scale - 0.5
+        y1 = boxes[:, 1] * scale - 0.5
+        x2 = boxes[:, 2] * scale - 0.5
+        y2 = boxes[:, 3] * scale - 0.5
+        kh = jnp.ceil(jnp.maximum(y2 - y1, 0.0) / out_size).astype(jnp.int32)
+        kw = jnp.ceil(jnp.maximum(x2 - x1, 0.0) / out_size).astype(jnp.int32)
+        wy = _axis_weights(y1, y2, h, kh, zeros, h, out_size)    # [R, out, H]
+        wx = _axis_weights(x1, x2, w, kw, zeros, w, out_size)    # [R, out, W]
+        sel = (levels == lv).astype(jnp.float32)
+        wy = wy * sel[:, None, None]  # rois on other levels contribute zero
+        if fast:
+            wy, wx, f = (a.astype(jnp.bfloat16) for a in (wy, wx, f))
+
+        def pad(a):
+            return jnp.pad(a, [(0, pad_to - n)] + [(0, 0)] * (a.ndim - 1))
+
+        wy_c = pad(wy).reshape(n_chunks, chunk, out_size, h)
+        wx_c = pad(wx).reshape(n_chunks, chunk, out_size, w)
+
+        def process(args, f=f):
+            wy_k, wx_k = args
+            t = jnp.einsum("rbh,hwc->rbwc", wy_k, f, precision=prec)
+            return jnp.einsum("rdw,rbwc->rbdc", wx_k, t, precision=prec)
+
+        out = out + lax.map(process, (wy_c, wx_c)).reshape(
+            pad_to, out_size, out_size, c).astype(jnp.float32)
+    return out[:n]
+
+
+def _roi_align_gather(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
+                      window=56, chunk=64):
     c = fmaps[0].shape[-1]
     num_levels = len(fmaps)
     true_sizes = [(f.shape[0], f.shape[1]) for f in fmaps]
