@@ -199,10 +199,11 @@ def bench_device_graph_only(batch=8, iters=20, h=SIZE[1], w=SIZE[0]):
 
 def main():
     results = {}
-    for det_model, style, n in [("yolo", "live", N_FAST), ("rcnn", "anime", N_SLOW),
-                                ("mtcnn", "live", N_SLOW)]:
+    for det_model, style, n, bs in [("yolo", "live", N_FAST, 8),
+                                    ("rcnn", "anime", N_SLOW, 2),
+                                    ("mtcnn", "live", N_SLOW, 2)]:
         try:
-            results[det_model] = bench_detector_e2e(det_model, style, n)
+            results[det_model] = bench_detector_e2e(det_model, style, n, batch_size=bs)
         except Exception as e:  # keep the JSON line coming even if a path dies
             print("bench %s FAILED: %r" % (det_model, e), file=sys.stderr)
             results[det_model] = float("nan")

@@ -74,3 +74,43 @@ def test_prefetching_source_propagates_errors(tmp_path):
         raise AssertionError("expected propagated decode error")
     except RuntimeError as e:
         assert "decode boom" in str(e)
+
+
+def test_parallel_source_matches_single_reader(tmp_path):
+    """Segmented parallel decode must yield byte-identical batches in the
+    same order as the single prefetching reader."""
+    from videotofaces_tpu.hostio import (ParallelFrameSource,
+                                         PrefetchingFrameSource, open_reader)
+    from videotofaces_tpu.hostio.video import frame_schedule
+    from test_pipeline_detection import _write_test_video
+
+    video = str(tmp_path / "clip.avi")
+    _write_test_video(video, n_frames=60, fps=10, size=(160, 120))
+    reader = open_reader(video)
+    indices, step = frame_schedule(reader.length, reader.fps, 0.3, None)
+    single = list(PrefetchingFrameSource(reader, indices, step, 4))
+    reader.close()
+    for workers in (2, 3):
+        par = list(ParallelFrameSource(video, indices, step, 4, workers=workers))
+        assert [bi for bi, _ in par] == [bi for bi, _ in single]
+        for (_, fp), (_, fs) in zip(par, single):
+            np.testing.assert_array_equal(fp, fs)
+
+
+def test_parallel_source_seek_mode(tmp_path):
+    """Large steps use the seek strategy; parallel segments must agree."""
+    from videotofaces_tpu.hostio import ParallelFrameSource, PrefetchingFrameSource, open_reader
+    from videotofaces_tpu.hostio.video import frame_schedule
+    from test_pipeline_detection import _write_test_video
+
+    video = str(tmp_path / "clip.avi")
+    _write_test_video(video, n_frames=400, fps=10, size=(64, 48))
+    reader = open_reader(video)
+    indices, step = frame_schedule(reader.length, reader.fps, 6, None)  # step 60 > 50
+    assert step > 50
+    single = list(PrefetchingFrameSource(reader, indices, step, 2))
+    reader.close()
+    par = list(ParallelFrameSource(video, indices, step, 2, workers=3))
+    assert [bi for bi, _ in par] == [bi for bi, _ in single]
+    for (_, fp), (_, fs) in zip(par, single):
+        np.testing.assert_array_equal(fp, fs)

@@ -8,8 +8,10 @@ crops are written by a small thread pool (cv2 releases the GIL for both).
 
 from .video import (  # noqa: F401
     VideoReader,
+    decode_workers_default,
     frame_schedule,
     open_reader,
+    ParallelFrameSource,
     PrefetchingFrameSource,
     HAS_DECORD,
 )

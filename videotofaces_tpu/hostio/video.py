@@ -55,6 +55,13 @@ class VideoReader:
     def is_open(self):
         return self.cap.isOpened()
 
+    def seek_to(self, index):
+        """Position so the next grab() returns frame ``index`` (used by
+        parallel segment decoding; the single-reader path never seeks in
+        sequential mode, matching the reference)."""
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+        self._cursor = index
+
     def read_batch(self, indices, step):
         frames = []
         for i in indices:
@@ -148,6 +155,91 @@ class PrefetchingFrameSource:
                     raise self.error
                 return
             yield item
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def decode_workers_default():
+    """How many parallel decoder threads to use: V2F_DECODE_WORKERS, else
+    min(4, cpu_count - 1). On a 1-core host this is 1 (the plain prefetching
+    single reader, bit-identical to the reference's decode order)."""
+    import os
+
+    env = os.environ.get("V2F_DECODE_WORKERS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(4, (os.cpu_count() or 1) - 1))
+
+
+class ParallelFrameSource:
+    """Order-preserving parallel decode: the batch list is split into
+    ``workers`` contiguous segments, each decoded by its own reader thread
+    (own cv2/decord handle, seek to segment start, then the same seek-vs-grab
+    strategy); the consumer drains the segments in order, so downstream
+    semantics (frame order, prev-5 dedup window, filenames) are identical to
+    the single-reader path.
+
+    This is the "keep host decode from starving the TPU" lever (SURVEY §7):
+    decode throughput scales with cores while the device pipeline is
+    unchanged. Yields the same (indices, frames) batches as
+    PrefetchingFrameSource.
+    """
+
+    _END = object()
+
+    def __init__(self, path, frame_indices, step, batch_size, video_area=None,
+                 reader_kind="opencv", workers=None, depth_per_worker=16):
+        workers = workers or decode_workers_default()
+        self.batches = [frame_indices[i: i + batch_size]
+                        for i in range(0, len(frame_indices), batch_size)]
+        workers = max(1, min(workers, len(self.batches)))
+        seg = -(-len(self.batches) // workers)
+        self.segments = [self.batches[j * seg: (j + 1) * seg] for j in range(workers)]
+        self.step = step
+        self.video_area = video_area
+        self.queues = [queue.Queue(maxsize=depth_per_worker) for _ in self.segments]
+        self.errors = [None] * len(self.segments)
+        self.threads = []
+        for j, seg_batches in enumerate(self.segments):
+            t = threading.Thread(target=self._work, daemon=True,
+                                 args=(j, path, reader_kind, seg_batches))
+            t.start()
+            self.threads.append(t)
+
+    def _work(self, j, path, reader_kind, seg_batches):
+        q = self.queues[j]
+        try:
+            if not seg_batches:
+                return
+            reader = open_reader(path, reader_kind)
+            if not reader.is_open():
+                raise RuntimeError("could not open video: %s" % path)
+            if hasattr(reader, "seek_to") and self.step <= 50:
+                # sequential-grab strategy: start decoding at the segment head
+                # instead of replaying the whole prefix
+                reader.seek_to(seg_batches[0][0])
+            for bi in seg_batches:
+                frames = reader.read_batch(bi, self.step)
+                if self.video_area:
+                    x1, y1, x2, y2 = self.video_area
+                    frames = frames[:, y1:y2, x1:x2, :]
+                q.put((bi, frames))
+            reader.close()
+        except Exception as e:
+            self.errors[j] = e
+        finally:
+            q.put(self._END)
+
+    def __iter__(self):
+        for j, q in enumerate(self.queues):
+            while True:
+                item = q.get()
+                if item is self._END:
+                    if self.errors[j]:
+                        raise self.errors[j]
+                    break
+                yield item
 
     def __len__(self):
         return len(self.batches)

@@ -19,7 +19,9 @@ import os
 
 import numpy as np
 
-from ..hostio import PrefetchingFrameSource, open_reader, AsyncImageWriter
+from ..hostio import (AsyncImageWriter, ParallelFrameSource,
+                      PrefetchingFrameSource, decode_workers_default,
+                      open_reader)
 from ..hostio.video import frame_schedule
 from ..utils.image import resize_keep_ratio
 from ..utils.pbar import tqdm
@@ -100,8 +102,15 @@ def process_video(path, model, sampling, criteria, layout, hash_thr, timer=None)
         model.batch_size = criteria.batch_size  # one static jit bucket per video
     indices, step = frame_schedule(reader.length, reader.fps, sampling.step,
                                    sampling.fragment)
-    source = PrefetchingFrameSource(reader, indices, step, criteria.batch_size,
-                                    sampling.area)
+    workers = decode_workers_default()
+    if workers > 1 and len(indices) > criteria.batch_size * workers:
+        # multi-core host: segmented parallel decode (order-preserving)
+        reader.close()
+        source = ParallelFrameSource(path, indices, step, criteria.batch_size,
+                                     sampling.area, sampling.reader, workers)
+    else:
+        source = PrefetchingFrameSource(reader, indices, step, criteria.batch_size,
+                                        sampling.area)
 
     names, hashes = [], []
     pbar = tqdm(total=len(indices))
