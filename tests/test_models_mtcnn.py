@@ -109,3 +109,35 @@ def test_mtcnn_spec_structure():
             paths.add(path)
     want = set(W.flatten(jax.tree.map(np.asarray, params)))
     assert paths == want, (sorted(paths - want)[:5], sorted(want - paths)[:5])
+
+
+def test_stage1_block_select_matches_exact_topk(rng):
+    """In throughput mode, big pyramid levels select candidates with the
+    lane-block top-k; results must match the exact lax.top_k path (parity
+    mode) on ordinary inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu import config
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():  # make some candidates fire
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=128, stage2=64, stage3=32, out=16)
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, 96, 128, 3)).astype(np.uint8))
+
+    with config.precision_scope("highest"):
+        exact = M.full_forward(params, frames, minsize=5, caps=caps)
+    with config.precision_scope("default"):
+        fast = M.full_forward(params, frames, minsize=5, caps=caps)
+    # d at the largest level is > 4*pre1, so the fast run used block-select
+    np.testing.assert_array_equal(np.asarray(exact[3]), np.asarray(fast[3]))  # valid
+    np.testing.assert_allclose(np.asarray(exact[0]), np.asarray(fast[0]),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(exact[1]), np.asarray(fast[1]),
+                               rtol=1e-4, atol=1e-4)

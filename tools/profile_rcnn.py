@@ -20,6 +20,15 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+
+def _sync(out):
+    """True completion barrier: materialize one leaf (FIFO device stream =>
+    everything queued before it has finished). jax.block_until_ready returns
+    early on the axon tunnel backend."""
+    import jax as _jax
+
+    _jax.device_get(_jax.tree.leaves(out)[0])
+
 from videotofaces_tpu import config  # noqa: E402
 from videotofaces_tpu.models import rcnn as R  # noqa: E402
 from videotofaces_tpu.ops.anchors import get_priors  # noqa: E402
@@ -99,12 +108,13 @@ def build(batch=2, h=720, w=1280, bf16=True):
 
 def timeit(fn, params, frames, iters=10):
     jfn = jax.jit(fn)
-    jax.block_until_ready(jfn(params, frames))
-    jax.block_until_ready(jfn(params, frames))
+    _sync(jfn(params, frames))
+    _sync(jfn(params, frames))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jfn(params, frames)
-    jax.block_until_ready(out)
+    _sync(out)  # device_get forces true completion (block_until_ready is NOT
+    # a reliable barrier on the axon tunnel backend; see docs/ROADMAP.md)
     return (time.perf_counter() - t0) / iters * 1000
 
 

@@ -17,6 +17,15 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+
+def _sync(out):
+    """True completion barrier: materialize one leaf (FIFO device stream =>
+    everything queued before it has finished). jax.block_until_ready returns
+    early on the axon tunnel backend."""
+    import jax as _jax
+
+    _jax.device_get(_jax.tree.leaves(out)[0])
+
 from videotofaces_tpu import config  # noqa: E402
 from videotofaces_tpu.models import rcnn as R  # noqa: E402
 from videotofaces_tpu.ops.anchors import get_priors  # noqa: E402
@@ -110,13 +119,13 @@ def main(batch=2, h=720, w=1280):
                      ("S3b:block+nms", lambda r, l: s3(r, l, sel_block)),
                      ("S4:full(topk)", s4), ("S4b:full(block)", s4b)]:
         jfn = jax.jit(fn)
-        jax.block_until_ready(jfn(regs, logs))
-        jax.block_until_ready(jfn(regs, logs))
+        _sync(jfn(regs, logs))
+        _sync(jfn(regs, logs))
         t0 = time.perf_counter()
-        for _ in range(10):
+        for _ in range(20):
             out = jfn(regs, logs)
-        jax.block_until_ready(out)
-        print("%-18s %8.2f ms" % (name, (time.perf_counter() - t0) / 10 * 1000))
+        _sync(out)  # device_get = true barrier (axon block_until_ready is not)
+        print("%-18s %8.2f ms" % (name, (time.perf_counter() - t0) / 20 * 1000))
 
 
 if __name__ == "__main__":

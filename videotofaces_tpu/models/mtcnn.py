@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.nms import iom_chain_suppress, nms_keep_mask, topk_by_score
+from ..ops.select import block_topk_select
 from ..ops.resize import adaptive_pool_boxes_batched, adaptive_pool_full, integral_image
 from .. import config
 from .layers import ConvUnit, PReLU, max_pool2d
@@ -100,9 +101,16 @@ class ONet(nn.Module):
 
 @dataclass(frozen=True)
 class Caps:
-    """Fixed buffer capacities for the cascade (per image)."""
+    """Fixed buffer capacities for the cascade (per image).
 
-    pre1: int = 4096     # stage-1 pre-NMS candidates per scale
+    pre1 sizes the per-scale NMS problem ([pre1, pre1] IoU matrices, one per
+    scale x image) — 1024 measured 4x faster than 4096 on v5e with identical
+    results on non-pathological frames; the stage-1 candidate count is
+    surfaced so overflow warns. (Also avoid pre1 >= 4096 with megapixel
+    pyramid levels: lax.top_k at k=4096 over ~3M elements crashes the XLA
+    TPU TopkEmitter in some shapes.)"""
+
+    pre1: int = 1024     # stage-1 pre-NMS candidates per scale
     post1: int = 512     # stage-1 post-NMS keeps per scale
     cross: int = 2048    # cross-scale NMS input
     stage2: int = 1024   # RNet candidates
@@ -201,7 +209,22 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         masked = jnp.where(flat_prob >= t1, flat_prob, 0.0)
         total_cand = total_cand + jnp.sum(masked > 0.0, axis=1).astype(jnp.int32)
         k1 = min(caps.pre1, d)
-        scores, idx = jax.lax.top_k(masked, k1)
+        fast = config.get_precision_name() == "default"
+        if fast and d > 4 * k1:
+            # big levels: lane-block top-k with the payload (reg + flat index,
+            # f32-exact for d < 2^24) carried through — lax.top_k's full
+            # variadic sort over megapixel levels costs ~20 ms/level here
+            payload = jnp.concatenate(
+                [reg.reshape(b, d, 4),
+                 jnp.broadcast_to(jnp.arange(d, dtype=jnp.float32)[None, :, None],
+                                  (b, d, 1))], axis=-1)
+            scores, sel, _overflow = block_topk_select(masked, payload, k1, per_block=4)
+            preds = sel[..., :4]
+            idx = sel[..., 4].astype(jnp.int32)
+            scores = jnp.maximum(scores, 0.0)  # -inf padding -> 0 (invalid)
+        else:
+            scores, idx = jax.lax.top_k(masked, k1)
+            preds = None
         valid = scores >= t1
         wi = (idx % pw).astype(jnp.float32)
         hi = (idx // pw).astype(jnp.float32)
@@ -209,7 +232,8 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             jnp.floor((2.0 * wi + 1.0) / sc), jnp.floor((2.0 * hi + 1.0) / sc),
             jnp.floor((2.0 * wi + 12.0) / sc), jnp.floor((2.0 * hi + 12.0) / sc),
         ], axis=-1)                                               # [B, k1, 4]
-        preds = jnp.take_along_axis(reg.reshape(b, d, 4), idx[..., None], axis=1)
+        if preds is None:
+            preds = jnp.take_along_axis(reg.reshape(b, d, 4), idx[..., None], axis=1)
         keep = _per_image_nms(boxes, scores, valid, 0.5)
         k1p = min(caps.post1, k1)
         v, boxes, scores, preds = _select_topk(scores, keep, k1p, boxes, scores, preds)

@@ -93,13 +93,10 @@ def detect_faces(files, model, sampling, criteria, layout, hash_thr):
 
 def process_video(path, model, sampling, criteria, layout, hash_thr, timer=None):
     """One video through the detector. Returns (face filenames, their hashes)."""
-    timer = timer if timer is not None else StageTimer()
     reader = open_reader(path, sampling.reader)
     if not reader.is_open():
         print("ERROR: could not open video: %s" % path)
         return [], []
-    if getattr(model, "batch_size", False) is None:
-        model.batch_size = criteria.batch_size  # one static jit bucket per video
     indices, step = frame_schedule(reader.length, reader.fps, sampling.step,
                                    sampling.fragment)
     workers = decode_workers_default()
@@ -111,9 +108,23 @@ def process_video(path, model, sampling, criteria, layout, hash_thr, timer=None)
     else:
         source = PrefetchingFrameSource(reader, indices, step, criteria.batch_size,
                                         sampling.area)
+    try:
+        return process_stream(source, len(indices), model, criteria, layout,
+                              hash_thr, timer)
+    finally:
+        reader.close()
+
+
+def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=None):
+    """The detector loop over any (indices, frames) batch source — the decode
+    strategy (prefetch thread, parallel segments, in-memory replay) is the
+    caller's choice. Returns (face filenames, their hashes)."""
+    timer = timer if timer is not None else StageTimer()
+    if getattr(model, "batch_size", False) is None:
+        model.batch_size = criteria.batch_size  # one static jit bucket per video
 
     names, hashes = [], []
-    pbar = tqdm(total=len(indices))
+    pbar = tqdm(total=n_frames)
     can_pipeline = hasattr(model, "submit")
     inflight = None  # (handle, frames, indices): batch the device is working on
     with AsyncImageWriter() as writer:
@@ -157,7 +168,6 @@ def process_video(path, model, sampling, criteria, layout, hash_thr, timer=None)
         if inflight is not None:
             hashes = finish(inflight)
     pbar.close()
-    reader.close()
     return names, [h for (h, _) in hashes]
 
 
