@@ -100,6 +100,8 @@ def test_validate_args_rejects_bad_options(tmp_path, capsys):
 def test_get_clusters():
     assert prep.get_clusters(None) == list(range(2, 9))
     assert prep.get_clusters(4) == [4]
+    assert prep.get_clusters("4") == [4]  # CLI passes strings; reference errors here
+    assert prep.get_clusters("0") is None
     assert prep.get_clusters("3,5,3,2") == [2, 3, 5]
     assert prep.get_clusters("2-5") == [2, 3, 4, 5]
     assert prep.get_clusters("5-2") is None

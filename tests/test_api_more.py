@@ -68,3 +68,24 @@ def test_mode_grouping_requires_images(tmp_path, capsys):
     os.makedirs(out)
     video_to_faces(mode="grouping", out_dir=out, style="live")
     assert "no image files for grouping" in capsys.readouterr().out
+
+
+def test_enc_from_memory_matches_disk(tmp_path, patched_models):  # noqa: F811
+    """Zero-disk encoding groups the same faces into the same folders (the
+    FakeEncoder buckets by brightness, robust to JPEG loss)."""
+    video = str(tmp_path / "clip.avi")
+    _write_test_video(video, n_frames=80, fps=10)
+    outs = {}
+    for tag, from_mem in [("disk", False), ("mem", True)]:
+        out = str(tmp_path / tag)
+        os.makedirs(out)
+        video_to_faces(input_path=video, out_dir=out, style="live", mode="full",
+                       video_step=0.5, hash_thr=2, enc_dup_thr=0.01, clusters=2,
+                       det_scale=(1, 1, 1, 1), det_square=False,
+                       enc_from_memory=from_mem)
+        faces = osp.join(out, "faces")
+        outs[tag] = {d: sorted(os.listdir(osp.join(faces, d)))
+                     for d in os.listdir(faces) if osp.isdir(osp.join(faces, d))}
+    # same cluster labels may swap between runs; compare the grouping partition
+    parts = [sorted(tuple(v) for v in o.values()) for o in outs.values()]
+    assert parts[0] == parts[1]

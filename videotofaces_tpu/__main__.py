@@ -95,6 +95,10 @@ def build_parser():
                         "-1 disables the other class")
     p.add_argument("--group-log", action="store_true",
                    help="write log_clustering.csv / log_classification.csv under faces/")
+    p.add_argument("--enc-from-memory", action="store_true",
+                   help="full mode: encode crops straight from memory instead of "
+                        "re-reading the saved JPEGs (faster; the encoder sees "
+                        "pre-compression pixels)")
     return p
 
 

@@ -56,21 +56,25 @@ def _plan_grouping(mode, group_mode, clusters, ref_dir, out_dir, want_eval):
 
 
 def _run_detection(input_path, input_ext, style, det_model, device,
-                   sampling, criteria, layout, hash_thr):
-    """Detection stage: videos -> face crops on disk. Returns their paths,
-    or None when no input videos were found."""
+                   sampling, criteria, layout, hash_thr, collect_crops=False):
+    """Detection stage: videos -> face crops on disk. Returns (paths, crops)
+    where crops is the in-memory {name: array} dict (zero-disk mode) or None;
+    paths is None when no input videos were found."""
     videos = prep.get_video_list(input_path, input_ext)
     if not videos:
-        return None
+        return None, None
     detector = get_detector_model(style, det_model, device)
-    return detect_faces(videos, detector, sampling, criteria, layout, hash_thr)
+    out = detect_faces(videos, detector, sampling, criteria, layout, hash_thr,
+                       collect_crops=collect_crops)
+    return out if collect_crops else (out, None)
 
 
 def _run_grouping(paths, plan, style, enc_model, device, group_mode,
-                  encode_spec, cluster_spec, classify_spec, layout):
+                  encode_spec, cluster_spec, classify_spec, layout, crops=None):
     """Grouping stage: face crops -> embeddings -> folders per person."""
     encoder = get_encoder_model(style, enc_model, device)
-    features = encode_faces(paths, encoder, encode_spec.batch_size, encode_spec.area)
+    features = encode_faces(paths, encoder, encode_spec.batch_size,
+                            encode_spec.area, images=crops)
     thr = encode_spec.dup_thr
     if thr and thr != -1:
         features, paths = remove_dupes_overall(features, paths, "enc", thr, layout)
@@ -92,6 +96,7 @@ def video_to_faces(input_path=None, input_ext=None,
                    group_mode='clustering', clusters=None, clusters_save_all=False,
                    ref_dir=None, random_state=0, group_log=True,
                    enc_dup_thr=0.25, enc_oth_thr=0.9,
+                   enc_from_memory=False,
                    _test_enc=False, _test_exclude_other=False):
 
     if not prep.validate_args(mode, input_path, out_dir, style, group_mode,
@@ -119,14 +124,16 @@ def video_to_faces(input_path=None, input_ext=None,
                           save_dupes=save_dupes)
 
     faces = plan.paths if plan else None
+    crops = None
     if detecting:
         sampling = FrameSampling(step=video_step, fragment=video_fragment,
                                  area=video_area, reader=video_reader)
         criteria = BoxCriteria(batch_size=det_batch_size, min_score=det_min_score,
                                min_size=det_min_size, min_border=det_min_border,
                                scale=det_scale, square=det_square)
-        faces = _run_detection(input_path, input_ext, style, det_model, device,
-                               sampling, criteria, layout, hash_thr)
+        faces, crops = _run_detection(
+            input_path, input_ext, style, det_model, device, sampling, criteria,
+            layout, hash_thr, collect_crops=enc_from_memory and grouping)
         if faces is None:
             return
 
@@ -142,6 +149,6 @@ def video_to_faces(input_path=None, input_ext=None,
             EncodeSpec(enc_batch_size, enc_area, enc_dup_thr),
             ClusterSpec(plan.clusters, clusters_save_all, random_state, group_log),
             ClassifySpec(plan.refs or (), enc_oth_thr, group_log),
-            layout)
+            layout, crops=crops)
 
     print('Done')

@@ -16,6 +16,7 @@ capture a jax.profiler device trace.
 """
 
 import os
+import os.path as osp
 
 import numpy as np
 
@@ -56,10 +57,13 @@ def get_detector_model(style, det_model, device=None, mesh="auto", **model_kw):
     return 0
 
 
-def detect_faces(files, model, sampling, criteria, layout, hash_thr):
+def detect_faces(files, model, sampling, criteria, layout, hash_thr,
+                 collect_crops=False):
     """Run detection over every video in ``files``. Returns the saved face
-    image paths. ``sampling``/``criteria``/``layout`` are specs.FrameSampling /
-    specs.BoxCriteria / specs.OutputLayout."""
+    image paths — plus, with ``collect_crops``, a {filename: BGR array} dict
+    of the surviving crops so grouping can encode straight from memory
+    (zero-disk mode). ``sampling``/``criteria``/``layout`` are
+    specs.FrameSampling / specs.BoxCriteria / specs.OutputLayout."""
     dedup_on = bool(hash_thr) and hash_thr != -1
     layout.prepare_dirs(dedup_on)
     if len(files) > 1:
@@ -67,6 +71,7 @@ def detect_faces(files, model, sampling, criteria, layout, hash_thr):
 
     timer = StageTimer()
     names, hashes = [], []
+    crops = {} if collect_crops else None
     with trace():
         for k, path in enumerate(files):
             print("Processing " + path)
@@ -74,7 +79,7 @@ def detect_faces(files, model, sampling, criteria, layout, hash_thr):
             file_layout = layout if len(files) == 1 else \
                 layout.with_prefix(layout.prefix + "%02d_" % (k + 1))
             n, h = process_video(path, model, sampling, criteria, file_layout,
-                                 hash_thr, timer)
+                                 hash_thr, timer, crops)
             names += n
             hashes += h
 
@@ -88,10 +93,14 @@ def detect_faces(files, model, sampling, criteria, layout, hash_thr):
     print("Saved a total of %u faces to: %s" % (len(paths), layout.faces_dir))
     print()
     timer.report()
+    if collect_crops:
+        keep = {osp.basename(fn) for fn in names}
+        return paths, {k: v for k, v in crops.items() if k in keep}
     return paths
 
 
-def process_video(path, model, sampling, criteria, layout, hash_thr, timer=None):
+def process_video(path, model, sampling, criteria, layout, hash_thr, timer=None,
+                  crops=None):
     """One video through the detector. Returns (face filenames, their hashes)."""
     reader = open_reader(path, sampling.reader)
     if not reader.is_open():
@@ -110,12 +119,13 @@ def process_video(path, model, sampling, criteria, layout, hash_thr, timer=None)
                                         sampling.area)
     try:
         return process_stream(source, len(indices), model, criteria, layout,
-                              hash_thr, timer)
+                              hash_thr, timer, crops)
     finally:
         reader.close()
 
 
-def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=None):
+def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=None,
+                   crops=None):
     """The detector loop over any (indices, frames) batch source — the decode
     strategy (prefetch thread, parallel segments, in-memory replay) is the
     caller's choice. Returns (face filenames, their hashes)."""
@@ -136,7 +146,7 @@ def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=No
             with timer.stage("host:postprocess"):
                 batch_names, new_hashes = process_frames_batch(
                     b_frames, b_idx, detout, criteria, layout, hash_thr,
-                    hashes, writer)
+                    hashes, writer, crops)
             names.extend(batch_names)
             pbar.update(len(b_idx))
             return new_hashes
@@ -154,7 +164,7 @@ def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=No
                 with timer.stage("host:postprocess"):
                     batch_names, hashes = process_frames_batch(
                         frames, bi, detout, criteria, layout, hash_thr,
-                        hashes, writer)
+                        hashes, writer, crops)
                 names.extend(batch_names)
                 pbar.update(len(bi))
                 continue
@@ -172,7 +182,7 @@ def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=No
 
 
 def process_frames_batch(frames, indices, detout, criteria, layout, hash_thr,
-                         hashes, writer):
+                         hashes, writer, crops=None):
     """Host post-processing for one batch. ``detout`` is the detector output —
     either (boxes, scores[, classes]) lists or a list of [n, 5] arrays."""
     img_size = frames[0].shape[:2]
@@ -216,7 +226,9 @@ def process_frames_batch(frames, indices, detout, criteria, layout, hash_thr,
     # 8. previous-5 hash dedup
     if hash_thr and hash_thr != -1:
         faces, hashes = remove_dupes_nearest(faces, hashes, hash_thr, layout)
-    # 9. async writes
+    # 9. async writes (and the optional in-memory copy for zero-disk encode)
     for img, fn in faces:
+        if crops is not None:
+            crops[fn] = img
         writer.write(layout.face_path(fn), img)
     return [fn for (_, fn) in faces], hashes

@@ -58,6 +58,30 @@ def _batched(seq, size):
         yield seq[i:i + size]
 
 
+def _read_batches(paths, batch_size, area, images=None):
+    """Yields image batches for encoding. Disk reads happen on a small thread
+    pool one batch ahead of the consumer (cv2.imread releases the GIL), so
+    JPEG decode overlaps device compute. ``images``: optional in-memory crops
+    keyed by basename (the zero-disk full-mode path) — no disk IO at all."""
+    if images is not None:
+        for group in _batched(paths, batch_size):
+            yield [images[osp.basename(p)] for p in group]
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    groups = list(_batched(paths, batch_size))
+    with ThreadPoolExecutor(max_workers=min(8, max(2, (os.cpu_count() or 1)))) as pool:
+        def read_group(group):
+            return list(pool.map(cv2.imread, group))
+
+        pending = pool.submit(read_group, groups[0]) if groups else None
+        for i in range(len(groups)):
+            batch = pending.result()
+            pending = pool.submit(read_group, groups[i + 1]) if i + 1 < len(groups) else None
+            yield batch
+
+
 def _write_csv(path, header, rows):
     with open(path, "w") as f:
         f.write(header + "\n")
@@ -65,21 +89,24 @@ def _write_csv(path, header, rows):
             f.write(",".join(str(v) for v in r) + "\n")
 
 
-def encode_faces(paths, model, batch_size, area):
-    """Read face crops from disk in batches and embed them on device."""
+def encode_faces(paths, model, batch_size, area, images=None):
+    """Embed face crops in batches on device. Crops come from disk (prefetched
+    on a reader pool) or, when ``images`` maps basename -> array, straight
+    from memory (zero-disk mode: skips the JPEG write-read round trip, so the
+    encoder sees pre-compression pixels)."""
     print("Extracting features from images for grouping")
     if getattr(model, "batch_size", False) is None:
         model.batch_size = batch_size
     timer = StageTimer()
     chunks = []
     with trace(), tqdm(total=len(paths)) as pbar:
-        for group in _batched(paths, batch_size):
+        reader = _read_batches(paths, batch_size, area, images)
+        for batch in reader:
             with timer.stage("encode:read"):
-                images = [cv2.imread(p) for p in group]
                 if area:
-                    images = [crop_to_area(img, area) for img in images]
-            with timer.stage("encode:forward", items=len(images)):
-                chunks.append(model(images))
+                    batch = [crop_to_area(img, area) for img in batch]
+            with timer.stage("encode:forward", items=len(batch)):
+                chunks.append(model(batch))
             pbar.update(chunks[-1].shape[0])
     timer.report()
     return np.concatenate(chunks)
@@ -144,6 +171,11 @@ def cluster_faces(paths, x, spec, out_dir):
     silhouette (or every k under G<k>/ when spec.keep_all). spec is a
     specs.ClusterSpec."""
     candidates = [k for k in spec.candidates if k <= len(paths)]
+    if not candidates:
+        print("NOTE: only %u face(s) survived — fewer than every requested cluster "
+              "count (%s); leaving them ungrouped in faces/"
+              % (len(paths), ", ".join(str(k) for k in spec.candidates)))
+        return
     print("Clustering images into %s groups" % ", ".join(str(k) for k in candidates))
 
     timer = StageTimer()

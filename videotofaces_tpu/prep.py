@@ -98,6 +98,12 @@ def get_clusters(spec):
     if isinstance(spec, int):
         if spec > 0:
             return [spec]
+    elif spec.isdigit():
+        # a bare number from the CLI arrives as a string; the reference
+        # errors on it (prep.py:48-66 only handles int / "a,b,c" / "a-b"),
+        # which makes `--clusters 4` unusable — accepted here
+        if int(spec) > 0:
+            return [int(spec)]
     elif "," in spec:
         parts = spec.split(",")
         if all(p.isdigit() for p in parts):
