@@ -97,3 +97,30 @@ def test_data_parallel_yolo_full_forward(rng):
         got = sharded_fn(params, jax.device_put(frames, batch_sharding(mesh)))
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))  # valid masks
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_kmeans_matches_single_device(rng):
+    """Lloyd iterations sharded over the 8-device mesh give sklearn-identical
+    assignments (same as the single-device path)."""
+    from videotofaces_tpu.ops.kmeans import kmeans_fit
+
+    x = rng.normal(size=(203, 24)).astype(np.float32)  # deliberately not /8
+    x[:70] += 4.0
+    x[70:150] -= 4.0
+    mesh = make_mesh()
+    ref_labels, ref_centers, ref_inertia = kmeans_fit(x, 3, random_state=0)
+    got_labels, got_centers, got_inertia = kmeans_fit(x, 3, random_state=0, mesh=mesh)
+    np.testing.assert_array_equal(got_labels, ref_labels)
+    np.testing.assert_allclose(got_centers, ref_centers, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_inertia, ref_inertia, rtol=1e-4)
+
+
+def test_sharded_silhouette_matches_single_device(rng):
+    from videotofaces_tpu.ops import cluster_scores as CS
+
+    x = rng.normal(size=(157, 16)).astype(np.float32)
+    labels = rng.integers(0, 4, size=157)
+    mesh = make_mesh()
+    ref = CS.silhouette_score(x, labels, 4)
+    got = CS.silhouette_score(x, labels, 4, mesh=mesh)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

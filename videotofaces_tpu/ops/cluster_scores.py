@@ -20,28 +20,66 @@ def _pairwise_euclidean(x):
     return jnp.sqrt(jnp.maximum(d2, 0.0))
 
 
-def silhouette_score(x, labels, n_clusters=None):
-    """Mean silhouette coefficient, euclidean metric. Samples in singleton
-    clusters score 0 (sklearn convention)."""
-    x = jnp.asarray(x, jnp.float32)
-    labels = np.asarray(labels)
-    k = int(n_clusters if n_clusters is not None else labels.max() + 1)
-    lab = jnp.asarray(labels)
-
-    d = _pairwise_euclidean(x)
-    onehot = jax.nn.one_hot(lab, k, dtype=jnp.float32)          # [N, K]
-    counts = jnp.sum(onehot, axis=0)                            # [K]
-    sums = jnp.matmul(d, onehot, precision=config.get_precision())  # [N, K] sum dist to each cluster
-    own_count = counts[lab]                                      # [N]
-    own_sum = jnp.take_along_axis(sums, lab[:, None], axis=1)[:, 0]
+def _silhouette_sum(xr, labr, w, xf, onehot_f, counts):
+    """Weighted silhouette sum over a row shard. xr/labr/w: this shard's rows
+    (w=0 marks padding); xf/onehot_f/counts: the full replicated set. The
+    [rows, N] distance block is the only O(N^2) object and it shards on rows."""
+    prec = config.get_precision()
+    sq_r = jnp.sum(jnp.square(xr), axis=1)
+    sq_f = jnp.sum(jnp.square(xf), axis=1)
+    d = jnp.sqrt(jnp.maximum(
+        sq_r[:, None] - 2.0 * jnp.matmul(xr, xf.T, precision=prec) + sq_f[None, :], 0.0))
+    sums = jnp.matmul(d, onehot_f, precision=prec)               # [rows, K]
+    own_count = counts[labr]
+    own_sum = jnp.take_along_axis(sums, labr[:, None], axis=1)[:, 0]
     a = own_sum / jnp.maximum(own_count - 1.0, 1.0)
+    k = onehot_f.shape[1]
     mean_other = sums / jnp.maximum(counts, 1.0)[None, :]
-    mean_other = jnp.where(jax.nn.one_hot(lab, k, dtype=bool), jnp.inf, mean_other)
+    mean_other = jnp.where(jax.nn.one_hot(labr, k, dtype=bool), jnp.inf, mean_other)
     mean_other = jnp.where((counts == 0)[None, :], jnp.inf, mean_other)
     b = jnp.min(mean_other, axis=1)
     sil = (b - a) / jnp.maximum(jnp.maximum(a, b), 1e-30)
     sil = jnp.where(own_count == 1, 0.0, sil)
-    return float(jnp.mean(sil))
+    return jnp.sum(sil * w)
+
+
+_sil_cache = {}
+
+
+def _sil_for(mesh):
+    if mesh is None:
+        return jax.jit(_silhouette_sum)
+    key = id(mesh)
+    if key not in _sil_cache:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        bs, rep = batch_sharding(mesh), replicated(mesh)
+        _sil_cache[key] = jax.jit(_silhouette_sum,
+                                  in_shardings=(bs, bs, bs, rep, rep, rep),
+                                  out_shardings=rep)
+    return _sil_cache[key]
+
+
+def silhouette_score(x, labels, n_clusters=None, mesh=None):
+    """Mean silhouette coefficient, euclidean metric. Samples in singleton
+    clusters score 0 (sklearn convention). With ``mesh``, the N^2 distance
+    reduction shards row-wise over the chips."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    labels = np.asarray(labels)
+    k = int(n_clusters if n_clusters is not None else labels.max() + 1)
+    n = x.shape[0]
+
+    mult = mesh.devices.size if mesh is not None else 1
+    pad = (-n) % mult
+    xr = np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)]) if pad else x
+    labr = np.concatenate([labels, np.zeros(pad, labels.dtype)]) if pad else labels
+    w = (np.arange(n + pad) < n).astype(np.float32)
+
+    onehot_f = jax.nn.one_hot(jnp.asarray(labels), k, dtype=jnp.float32)
+    counts = jnp.sum(onehot_f, axis=0)
+    total = _sil_for(mesh)(jnp.asarray(xr), jnp.asarray(labr), jnp.asarray(w),
+                           jnp.asarray(x), onehot_f, counts)
+    return float(total) / n
 
 
 def calinski_harabasz_score(x, labels, n_clusters=None):

@@ -70,14 +70,17 @@ def kmeans_plusplus(x, n_clusters, random_state, n_local_trials=None):
     return x[indices].copy(), indices
 
 
-def _lloyd_step(x, centers):
-    """One Lloyd iteration on device: labels, new centers, distances-to-closest."""
+def _lloyd_step(x, centers, w):
+    """One Lloyd iteration on device: labels, new centers, distances-to-closest.
+    ``w`` [N] masks padding rows (0 weight) so the step shards cleanly over a
+    device mesh — rows split across chips, the centroid update's one-hot
+    matmul reduces with an XLA all-reduce."""
     d = _sq_dists(x, centers)
     labels = jnp.argmin(d, axis=1)
-    closest = jnp.min(d, axis=1)
+    closest = jnp.where(w > 0, jnp.min(d, axis=1), -jnp.inf)  # pads never "farthest"
     k = centers.shape[0]
-    onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)           # [N, K]
-    counts = jnp.sum(onehot, axis=0)                            # [K]
+    onehot = jax.nn.one_hot(labels, k, dtype=x.dtype) * w[:, None]  # [N, K]
+    counts = jnp.sum(onehot, axis=0)                                # [K]
     sums = jnp.matmul(onehot.T, x, precision=config.get_precision())
     new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
     # keep old center where a cluster went empty (relocation handled on host)
@@ -86,10 +89,35 @@ def _lloyd_step(x, centers):
 
 
 _lloyd_step_jit = jax.jit(_lloyd_step)
+_lloyd_cache = {}
 
 
-def kmeans_fit(x, n_clusters, random_state=0, max_iter=300, tol=1e-4):
-    """Full K-means fit. Returns (labels [N], centers [K, D], inertia)."""
+def _lloyd_for(mesh):
+    """The Lloyd step, optionally SPMD: points sharded on rows over 'data',
+    centers replicated; XLA inserts the psum for the centroid sums."""
+    if mesh is None:
+        return _lloyd_step_jit
+    key = id(mesh)
+    if key not in _lloyd_cache:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        bs, rep = batch_sharding(mesh), replicated(mesh)
+        _lloyd_cache[key] = jax.jit(_lloyd_step, in_shardings=(bs, rep, bs),
+                                    out_shardings=(bs, rep, rep, bs))
+    return _lloyd_cache[key]
+
+
+def _pad_rows(x, mult):
+    n = x.shape[0]
+    pad = (-n) % mult
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x, n
+
+
+def kmeans_fit(x, n_clusters, random_state=0, max_iter=300, tol=1e-4, mesh=None):
+    """Full K-means fit. Returns (labels [N], centers [K, D], inertia).
+    With ``mesh``, Lloyd iterations run data-parallel over the chips."""
     x = np.ascontiguousarray(x, dtype=np.float32)
     n = x.shape[0]
     if n_clusters >= n:
@@ -97,15 +125,18 @@ def kmeans_fit(x, n_clusters, random_state=0, max_iter=300, tol=1e-4):
         return labels, x[:n_clusters].copy(), 0.0
     centers, _ = kmeans_plusplus(x, n_clusters, random_state)
     centers = jnp.asarray(centers)
-    xd = jnp.asarray(x)
+    step = _lloyd_for(mesh)
+    xp, _ = _pad_rows(x, mesh.devices.size if mesh is not None else 1)
+    w = jnp.asarray((np.arange(xp.shape[0]) < n).astype(np.float32))
+    xd = jnp.asarray(xp)
     tol_abs = tol * float(np.mean(np.var(x, axis=0)))
 
     labels_prev = None
     strict = False
     labels = None
     for _ in range(max_iter):
-        labels_d, new_centers, counts, closest = _lloyd_step_jit(xd, centers)
-        labels = np.asarray(labels_d)
+        labels_d, new_centers, counts, closest = step(xd, centers, w)
+        labels = np.asarray(labels_d)[:n]
         counts = np.asarray(counts)
         if (counts == 0).any():  # sklearn: reseed empties from farthest points
             new_centers = np.array(new_centers)  # writable host copy
@@ -124,8 +155,9 @@ def kmeans_fit(x, n_clusters, random_state=0, max_iter=300, tol=1e-4):
 
     if not strict:  # final e-step against the final centers
         d = _sq_dists(xd, centers)
-        labels = np.asarray(jnp.argmin(d, axis=1))
-        inertia = float(jnp.sum(jnp.min(d, axis=1)))
+        labels = np.asarray(jnp.argmin(d, axis=1))[:n]
+        inertia = float(jnp.sum(jnp.where(w > 0, jnp.min(d, axis=1), 0.0)))
     else:
-        inertia = float(jnp.sum(_lloyd_step_jit(xd, centers)[3]))
+        closest = _lloyd_for(None)(xd, centers, w)[3]
+        inertia = float(jnp.sum(jnp.where(w > 0, closest, 0.0)))
     return labels, np.asarray(centers), inertia

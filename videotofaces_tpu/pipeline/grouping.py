@@ -178,14 +178,17 @@ def cluster_faces(paths, x, spec, out_dir):
         return
     print("Clustering images into %s groups" % ", ".join(str(k) for k in candidates))
 
+    # the O(N^2)/O(NK) reductions (Lloyd steps, silhouette) shard over every
+    # local chip; XLA inserts the ICI all-reduces from the shardings
+    mesh = default_mesh() if len(paths) >= 64 else None
     timer = StageTimer()
     runs = []  # (k, labels, silhouette, calinski-harabasz, davies-bouldin)
     for k in candidates:
         with timer.stage("cluster:kmeans k=%d" % k, items=len(paths)):
-            labels = kmeans_fit(x, k, random_state=spec.random_state)[0]
+            labels = kmeans_fit(x, k, random_state=spec.random_state, mesh=mesh)[0]
         with timer.stage("cluster:scores"):
             runs.append((k, labels,
-                         CS.silhouette_score(x, labels, k),
+                         CS.silhouette_score(x, labels, k, mesh=mesh),
                          CS.calinski_harabasz_score(x, labels, k),
                          CS.davies_bouldin_score(x, labels, k)))
     if spec.write_log:
