@@ -124,3 +124,14 @@ def test_sharded_silhouette_matches_single_device(rng):
     ref = CS.silhouette_score(x, labels, 4)
     got = CS.silhouette_score(x, labels, 4, mesh=mesh)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_dedup_cosine_matches_single_device(rng):
+    from videotofaces_tpu.ops import distances as D
+
+    x = rng.normal(size=(133, 32)).astype(np.float32)
+    x[40] = x[7] * 1.7  # cosine-identical pair
+    ref_m, ref_i = D.dedup_cosine(x)
+    got_m, got_i = D.dedup_cosine(x, mesh=make_mesh())
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))

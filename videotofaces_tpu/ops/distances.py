@@ -60,7 +60,41 @@ def dedup_hash(hashes_u8):
 
 
 @jax.jit
-def dedup_cosine(feats):
-    """All-pairs embedding dedup reductions: feats [N, D] -> (mins, argmins)."""
+def _dedup_cosine_single(feats):
     d = cosine_gram(feats)
     return nearest_earlier(d)
+
+
+def _dedup_rows(feats_rows, row_idx, feats_full, big=10000.0):
+    """Row shard of the all-pairs dedup: [rows, N] distance block, masked to
+    earlier columns by the GLOBAL row index (works under row sharding)."""
+    d = cosine_gram(feats_rows, feats_full)
+    later = jnp.arange(d.shape[1])[None, :] >= row_idx[:, None]
+    masked = d + later.astype(d.dtype) * big
+    return jnp.min(masked, axis=1), jnp.argmin(masked, axis=1)
+
+
+_dedup_cache = {}
+
+
+def dedup_cosine(feats, mesh=None):
+    """All-pairs embedding dedup reductions: feats [N, D] -> (mins, argmins).
+    With ``mesh``, the N^2 Gram matrix shards row-wise over the chips."""
+    if mesh is None:
+        return _dedup_cosine_single(feats)
+    import numpy as np
+
+    key = id(mesh)
+    if key not in _dedup_cache:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        bs, rep = batch_sharding(mesh), replicated(mesh)
+        _dedup_cache[key] = jax.jit(_dedup_rows, in_shardings=(bs, bs, rep),
+                                    out_shardings=(bs, bs))
+    x = np.ascontiguousarray(feats, dtype=np.float32)
+    n = x.shape[0]
+    pad = (-n) % mesh.devices.size
+    xr = np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)]) if pad else x
+    row_idx = jnp.arange(n + pad, dtype=jnp.int32)
+    mins, inds = _dedup_cache[key](jnp.asarray(xr), row_idx, jnp.asarray(x))
+    return mins[:n], inds[:n]

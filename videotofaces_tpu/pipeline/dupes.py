@@ -88,7 +88,10 @@ def _nearest_earlier(x, measure_type):
     if measure_type == "hash":
         packed = np.ascontiguousarray(x, dtype=np.uint64)
         return NV.hamming_nearest_earlier(packed)  # native C++ or numpy
-    mins, inds = D.dedup_cosine(np.asarray(x, dtype=np.float32))  # device Gram
+    from .mesh_auto import default_mesh
+
+    mesh = default_mesh() if len(x) >= 64 else None  # shard the N^2 Gram
+    mins, inds = D.dedup_cosine(np.asarray(x, dtype=np.float32), mesh=mesh)
     return np.asarray(mins), np.asarray(inds)
 
 
