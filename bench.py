@@ -154,13 +154,17 @@ def bench_detector_e2e(det_model, style, n_frames, batch_size=8):
 
     criteria = BoxCriteria(batch_size=batch_size)
     with tempfile.TemporaryDirectory() as tmp:  # compile the jit bucket
+        warm_layout = OutputLayout(tmp)
+        warm_layout.prepare_dirs(True)  # writes fail SILENTLY without faces/
         process_stream(_Replay(batches[:2]), 2 * batch_size, det, criteria,
-                       OutputLayout(tmp), hash_thr=8)
+                       warm_layout, hash_thr=8)
     out = tempfile.mkdtemp()
     try:
+        layout = OutputLayout(out)
+        layout.prepare_dirs(True)
         t0 = time.perf_counter()
         process_stream(_Replay(batches), len(indices), det, criteria,
-                       OutputLayout(out), hash_thr=8)
+                       layout, hash_thr=8)
         pipeline_fps = len(indices) / (time.perf_counter() - t0)
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -227,11 +231,7 @@ def bench_device_graph_only(batch=8, iters=20, h=SIZE[1], w=SIZE[0]):
     frames = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, size=(batch, h, w, 3)).astype(np.uint8))
 
-    def sync(out):
-        # device_get is the only true completion barrier on the axon tunnel
-        # backend (block_until_ready returns early there); FIFO stream =>
-        # the last result materializing means all queued work finished
-        jax.device_get(jax.tree.leaves(out)[0])
+    from videotofaces_tpu.utils.profiling import sync
 
     sync(fn(params, frames))
     sync(fn(params, frames))

@@ -138,3 +138,19 @@ def test_detect_faces_multifile_prefix(tmp_path):
     names = sorted(osp.basename(p) for p in paths)
     assert any(n.startswith("01_") for n in names)
     assert any(n.startswith("02_") for n in names)
+
+
+def test_packed_hash_array_stays_uint64():
+    """Regression: np.stack on Python ints straddling 2^63 promotes to
+    float64 and corrupts the low hash bits; the pipeline must build the
+    dedup input as explicit uint64."""
+    import numpy as np
+
+    hashes = [2**63 + 0b10111, 0b10010]  # bit-63 set vs not
+    arr = np.asarray(hashes, dtype=np.uint64)
+    assert arr.dtype == np.uint64
+    got = int(arr[0] ^ arr[1]).bit_count()
+    want = bin(hashes[0] ^ hashes[1]).count("1")
+    assert got == want == 3  # bit 63 plus 0b10111 ^ 0b10010 = 0b00101
+    # the hazard this guards against: default promotion loses low bits
+    assert np.stack(hashes).dtype == np.float64

@@ -20,14 +20,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-
-def _sync(out):
-    """True completion barrier: materialize one leaf (FIFO device stream =>
-    everything queued before it has finished). jax.block_until_ready returns
-    early on the axon tunnel backend."""
-    import jax as _jax
-
-    _jax.device_get(_jax.tree.leaves(out)[0])
+from videotofaces_tpu.utils.profiling import sync as _sync  # noqa: E402
 
 from videotofaces_tpu import config  # noqa: E402
 from videotofaces_tpu.models import rcnn as R  # noqa: E402

@@ -189,7 +189,9 @@ class ParallelFrameSource:
     _END = object()
 
     def __init__(self, path, frame_indices, step, batch_size, video_area=None,
-                 reader_kind="opencv", workers=None, depth_per_worker=16):
+                 reader_kind="opencv", workers=None, depth_per_worker=4):
+        # depth 4: enough to hide segment handoff; 16 would buffer ~800 MB of
+        # raw 1080p frames PER WORKER at batch 8
         workers = workers or decode_workers_default()
         self.batches = [frame_indices[i: i + batch_size]
                         for i in range(0, len(frame_indices), batch_size)]

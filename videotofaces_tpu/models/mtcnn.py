@@ -197,6 +197,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     # ---- stage 1: proposal network over the pyramid -------------------------
     s_boxes, s_scores, s_preds, s_valid = [], [], [], []
     total_cand = jnp.zeros((b,), jnp.int32)
+    select_overflow = jnp.zeros((b,), jnp.int32)  # block-select truncation risk
     for sc, (sh, sw) in zip(scales, sizes):
         level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
         if compute_dtype is not None:
@@ -218,7 +219,8 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                 [reg.reshape(b, d, 4),
                  jnp.broadcast_to(jnp.arange(d, dtype=jnp.float32)[None, :, None],
                                   (b, d, 1))], axis=-1)
-            scores, sel, _overflow = block_topk_select(masked, payload, k1, per_block=4)
+            scores, sel, overflow = block_topk_select(masked, payload, k1, per_block=4)
+            select_overflow = select_overflow + overflow
             preds = sel[..., :4]
             idx = sel[..., 4].astype(jnp.int32)
             scores = jnp.maximum(scores, 0.0)  # -inf padding -> 0 (invalid)
@@ -242,6 +244,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         s_preds.append(preds)
         s_valid.append(v)
     counts["stage1"] = total_cand
+    counts["stage1_select_overflow"] = select_overflow
 
     boxes = jnp.concatenate(s_boxes, axis=1)
     scores = jnp.concatenate(s_scores, axis=1)

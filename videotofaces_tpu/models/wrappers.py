@@ -393,6 +393,11 @@ class MtcnnDetector:
                 print("WARNING: MTCNN %s survivors exceeded buffer capacity "
                       "(%d > %d); results may drop low-scoring faces. "
                       "Increase Caps.%s." % (stage, seen, cap, cap_name))
+        of = int(np.asarray(counts.get("stage1_select_overflow", 0)).max())
+        if of > 0:
+            print("WARNING: MTCNN stage-1 block-select may have truncated %d "
+                  "candidate block(s) (spatially dense detections); rerun in "
+                  "parity precision or raise per_block for exact selection." % of)
         res, ldm = [], []
         for i in range(n):
             v = valid[i]

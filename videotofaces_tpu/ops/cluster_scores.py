@@ -43,12 +43,13 @@ def _silhouette_sum(xr, labr, w, xf, onehot_f, counts):
     return jnp.sum(sil * w)
 
 
+_sil_single = jax.jit(_silhouette_sum)
 _sil_cache = {}
 
 
 def _sil_for(mesh):
     if mesh is None:
-        return jax.jit(_silhouette_sum)
+        return _sil_single
     key = id(mesh)
     if key not in _sil_cache:
         from ..parallel.mesh import batch_sharding, replicated

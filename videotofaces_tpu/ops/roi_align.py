@@ -67,7 +67,11 @@ def _axis_weights(c1, c2, true_size, k, window_start, window, out_size=7, k_max=
     w_low = jnp.where(abs_r == y_low[..., None], 1.0 - frac[..., None], 0.0)
     w_high = jnp.where(abs_r == y_low[..., None] + 1.0, frac[..., None], 0.0)
     w = (w_low + w_high) * sample_ok[..., None].astype(jnp.float32)
-    return jnp.sum(w, axis=2) / kf[:, None, None]   # [R, out, window]
+    # degenerate rois can need k > k_max samples per bin; only the first k_max
+    # contribute, so normalize by the CONTRIBUTING count (an unbiased
+    # subsample mean) instead of k — exact whenever k <= k_max
+    denom = jnp.minimum(kf, float(k_max))
+    return jnp.sum(w, axis=2) / denom[:, None, None]   # [R, out, window]
 
 
 def roi_align_multilevel(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,

@@ -85,8 +85,10 @@ def detect_faces(files, model, sampling, criteria, layout, hash_thr,
 
         if dedup_on and names:
             with timer.stage("dedup:all-pairs", items=len(names)):
-                _, names = remove_dupes_overall(np.stack(hashes), names,
-                                                "hash", hash_thr, layout)
+                # explicit uint64: np.stack on Python ints straddling 2^63
+                # would promote to float64 and corrupt the low hash bits
+                _, names = remove_dupes_overall(np.asarray(hashes, dtype=np.uint64),
+                                                names, "hash", hash_thr, layout)
 
     paths = [layout.face_path(fn) for fn in names]
     print()

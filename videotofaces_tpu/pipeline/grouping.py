@@ -100,11 +100,14 @@ def encode_faces(paths, model, batch_size, area, images=None):
     timer = StageTimer()
     chunks = []
     with trace(), tqdm(total=len(paths)) as pbar:
-        reader = _read_batches(paths, batch_size, area, images)
-        for batch in reader:
-            with timer.stage("encode:read"):
-                if area:
+        reader = iter(_read_batches(paths, batch_size, area, images))
+        while True:
+            with timer.stage("encode:read"):  # wait on the prefetched read
+                batch = next(reader, None)
+                if batch is not None and area:
                     batch = [crop_to_area(img, area) for img in batch]
+            if batch is None:
+                break
             with timer.stage("encode:forward", items=len(batch)):
                 chunks.append(model(batch))
             pbar.update(chunks[-1].shape[0])

@@ -98,6 +98,8 @@ def get_clusters(spec):
     if isinstance(spec, int):
         if spec > 0:
             return [spec]
+    elif not isinstance(spec, str):
+        pass  # unsupported type -> the printed ERROR below (never raise)
     elif spec.isdigit():
         # a bare number from the CLI arrives as a string; the reference
         # errors on it (prep.py:48-66 only handles int / "a,b,c" / "a-b"),

@@ -66,6 +66,20 @@ def trace(log_dir=None):
         print(f"Wrote device trace to {log_dir} (open with TensorBoard)")
 
 
+def sync(out):
+    """True device-completion barrier: materialize one output leaf.
+
+    ``jax.block_until_ready`` returns early on the axon tunnel backend, so
+    timing loops MUST end with this instead; the device stream is FIFO, so
+    fetching the last result bounds everything queued before it. This is the
+    one load-bearing measurement primitive — every profiling tool and
+    bench.py import it from here.
+    """
+    import jax
+
+    jax.device_get(jax.tree.leaves(out)[0])
+
+
 def annotate(name):
     """Named span inside a device trace (and a cheap no-op without one)."""
     try:
