@@ -1,0 +1,160 @@
+"""Serving layer (serve.py): FaceService bucketing / extract semantics and a
+full socket-daemon protocol round trip (ping/detect/embed/extract/stats/
+warmup/shutdown) against an in-process server thread."""
+
+import os
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videotofaces_tpu.serve import (FaceService, ServeClient, _bucket,
+                                    serve_forever)
+from videotofaces_tpu.specs import BoxCriteria
+
+
+class FakeEncoder:
+    """Deterministic stand-in implementing the _Encoder protocol: crops of any
+    size in, [N, 4] features out (mean, std, h, w)."""
+
+    input_size = 32
+    batch_size = None
+
+    def __call__(self, images):
+        out = []
+        for img in images:
+            a = np.asarray(img, dtype=np.float32)
+            out.append([a.mean(), a.std(), a.shape[0], a.shape[1]])
+        return np.asarray(out, np.float32)
+
+
+def _make_service(max_batch=8):
+    from videotofaces_tpu.models import yolo as Y
+    from videotofaces_tpu.models.wrappers import YoloDetector
+
+    model = Y.YOLOv3(1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 3)))["params"]
+    det = YoloDetector(params=params, max_side=96)
+    crit = BoxCriteria(min_score=0.0, min_size=1, min_border=0,
+                       scale=(1.0, 1.0, 1.0, 1.0), square=False)
+    return FaceService(detector=det, encoder=FakeEncoder(), criteria=crit,
+                       max_batch=max_batch)
+
+
+def _frames(n, h=96, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8).astype(np.uint8)
+            for _ in range(n)]
+
+
+def test_bucket_rounding():
+    assert [_bucket(n, 32) for n in (1, 2, 3, 4, 5, 9, 33)] == \
+        [1, 2, 4, 4, 8, 16, 32]
+
+
+def test_detect_matches_direct_wrapper_call():
+    svc = _make_service()
+    frames = _frames(3)
+    res = svc.detect(frames)
+    assert len(res) == 3
+    # direct wrapper call at the same bucket must agree exactly
+    svc.detector.batch_size = 4
+    db, ds, _ = svc.detector(frames)
+    for (boxes, scores), eb, es in zip(res, db, ds):
+        np.testing.assert_array_equal(boxes, eb)
+        np.testing.assert_array_equal(scores, es)
+    # 3 frames rounded onto the 4-bucket: a single compiled graph
+    assert len(svc.detector._cache) == 1
+
+
+def test_detect_chunks_above_max_batch():
+    svc = _make_service(max_batch=4)
+    res = svc.detect(_frames(10))
+    assert len(res) == 10
+    # chunks of 4, 4, 2 -> buckets 4 and 2
+    assert {k[0] for k in svc.detector._cache} == {4, 2}
+
+
+def test_extract_consistency_and_crops():
+    svc = _make_service()
+    frames = _frames(2, seed=3)
+    res = svc.extract(frames, return_crops=True)
+    assert len(res) == 2
+    enc = FakeEncoder()
+    for frame, r in zip(frames, res):
+        m = len(r["boxes"])
+        assert r["scores"].shape == (m,)
+        assert len(r["crops"]) == m
+        if m:
+            assert r["embeddings"].shape == (m, 4)
+            # crops are the adjusted-box slices of the frame
+            for box, crop in zip(r["boxes"], r["crops"]):
+                x1, y1, x2, y2 = box
+                np.testing.assert_array_equal(frame[y1:y2, x1:x2], crop)
+            np.testing.assert_allclose(r["embeddings"], enc(r["crops"]),
+                                       rtol=1e-6)
+
+
+def test_warmup_precompiles_buckets():
+    svc = _make_service()
+    svc.warmup(resolutions=[(96, 128)], batches=[3], embed_batches=[2])
+    assert (4, 96, 128) in svc.detector._cache
+    n_compiled = len(svc.detector._cache)
+    svc.detect(_frames(3))          # same bucket: no new compile
+    assert len(svc.detector._cache) == n_compiled
+
+
+def test_socket_daemon_round_trip(tmp_path):
+    svc = _make_service()
+    sock_path = str(tmp_path / "v2f.sock")
+    t = threading.Thread(target=serve_forever, args=(svc, sock_path), daemon=True)
+    t.start()
+    for _ in range(100):
+        if os.path.exists(sock_path):
+            break
+        time.sleep(0.05)
+    else:
+        pytest.fail("daemon socket never appeared")
+
+    client = ServeClient(sock_path)
+    try:
+        assert client.ping() is True
+
+        frames = _frames(3, seed=7)
+        got = client.detect(frames)
+        want = svc.detect(frames)
+        assert len(got) == len(want) == 3
+        for (gb, gs), (wb, ws) in zip(got, want):
+            np.testing.assert_allclose(gb, wb, rtol=1e-6)
+            np.testing.assert_allclose(gs, ws, rtol=1e-6)
+
+        # ragged crop sizes through the embed op
+        crops = [_frames(1, h=20, w=30, seed=i)[0] for i in range(3)]
+        emb = client.embed(crops)
+        np.testing.assert_allclose(emb, FakeEncoder()(crops), rtol=1e-6)
+
+        ex = client.extract(frames)
+        wex = svc.extract(frames)
+        for g, w in zip(ex, wex):
+            np.testing.assert_array_equal(g["boxes"], w["boxes"])
+            np.testing.assert_allclose(g["embeddings"],
+                                       w["embeddings"].reshape(g["embeddings"].shape),
+                                       rtol=1e-6)
+
+        stats = client.stats()
+        assert stats["requests"] >= 4 and stats["frames"] >= 6
+
+        # unknown op surfaces as an error, connection stays usable
+        with pytest.raises(RuntimeError, match="unknown op"):
+            client._rpc({"op": "nope"})
+        assert client.ping() is True
+
+        client.shutdown()
+    finally:
+        client.close()
+    t.join(timeout=10)
+    assert not t.is_alive()
