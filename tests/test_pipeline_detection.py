@@ -87,10 +87,10 @@ class FakeDetector:
         return out
 
 
-def _write_test_video(path, n_frames=40, fps=10, size=(320, 240)):
+def _write_test_video(path, n_frames=40, fps=10, size=(320, 240), seed=1):
     vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, size)
     assert vw.isOpened()
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     for i in range(n_frames):
         frame = np.full((size[1], size[0], 3), (i * 6) % 255, np.uint8)
         frame[:, :, 1] = rng.integers(0, 255, size=(size[1], size[0]))

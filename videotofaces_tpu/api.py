@@ -16,7 +16,10 @@ default (pipeline/mesh_auto — set V2F_SINGLE_DEVICE=1 to opt out).
 import os.path as osp
 from typing import NamedTuple, Optional
 
+import numpy as np
+
 from . import prep
+from .parallel import multihost as MH
 from .pipeline.detection import get_detector_model, detect_faces
 from .pipeline.grouping import (get_encoder_model, encode_faces, cluster_faces,
                                 classify_faces, test_grouping)
@@ -63,6 +66,9 @@ def _run_detection(input_path, input_ext, style, det_model, device,
     videos = prep.get_video_list(input_path, input_ext)
     if not videos:
         return None, None
+    # multi-host job: each host detects its own shard of the library
+    # (parallel/multihost.py); dedup inside detect_faces goes global
+    videos = MH.shard_list(videos)
     detector = get_detector_model(style, det_model, device)
     out = detect_faces(videos, detector, sampling, criteria, layout, hash_thr,
                        collect_crops=collect_crops)
@@ -75,9 +81,19 @@ def _run_grouping(paths, plan, style, enc_model, device, group_mode,
     encoder = get_encoder_model(style, enc_model, device)
     features = encode_faces(paths, encoder, encode_spec.batch_size,
                             encode_spec.area, images=crops)
+    if MH.process_info()[1] > 1:
+        # go global: every host gathers all (embedding, name) rows, computes
+        # identical dedup/cluster decisions, and moves only its local files
+        names = [osp.basename(p) for p in paths]
+        features, g_names = MH.allgather_rows(
+            np.asarray(features, np.float32), names)
+        paths = [layout.face_path(n) for n in g_names]
     thr = encode_spec.dup_thr
     if thr and thr != -1:
         features, paths = remove_dupes_overall(features, paths, "enc", thr, layout)
+    if not len(paths):
+        print("No faces to group")
+        return
     if group_mode == "clustering":
         cluster_faces(paths, features, cluster_spec, layout.root)
     if group_mode == "classification":
@@ -119,7 +135,10 @@ def video_to_faces(input_path=None, input_ext=None,
         if plan is None:
             return
 
-    layout = OutputLayout(root=out_dir, prefix=out_prefix, resize_to=resize_to,
+    # multi-host: face names carry a host tag so the global namespace is
+    # collision-free (parallel/multihost.host_prefix is identity single-host)
+    layout = OutputLayout(root=out_dir, prefix=MH.host_prefix(out_prefix),
+                          resize_to=resize_to,
                           save_frames=save_frames, save_rejects=save_rejects,
                           save_dupes=save_dupes)
 
@@ -137,7 +156,9 @@ def video_to_faces(input_path=None, input_ext=None,
         if faces is None:
             return
 
-    if grouping and faces:
+    # a host whose shard yielded no faces must still join the global gathers
+    # of a multi-host job, or its peers would block in allgather_rows
+    if grouping and faces is not None and (faces or MH.process_info()[1] > 1):
         if _test_enc:
             test_grouping(faces, plan.refs, style, enc_model, device, out_dir,
                           _test_exclude_other,

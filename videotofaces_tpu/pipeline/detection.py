@@ -27,6 +27,7 @@ from ..hostio.video import frame_schedule
 from ..utils.image import resize_keep_ratio
 from ..utils.pbar import tqdm
 from ..utils.profiling import StageTimer, trace
+from ..parallel import multihost as MH
 from . import boxfilter as BF
 from .dupes import remove_dupes_nearest, remove_dupes_overall
 from .mesh_auto import default_mesh
@@ -83,12 +84,25 @@ def detect_faces(files, model, sampling, criteria, layout, hash_thr,
             names += n
             hashes += h
 
-        if dedup_on and names:
+        # multi-host jobs dedup GLOBALLY: gather every host's (hash, name)
+        # rows, compute identical keep decisions everywhere, apply local
+        # deletions only. Hosts with zero faces still join the gather.
+        n_hosts = MH.process_info()[1]
+        if dedup_on and (names or n_hosts > 1):
             with timer.stage("dedup:all-pairs", items=len(names)):
                 # explicit uint64: np.stack on Python ints straddling 2^63
                 # would promote to float64 and corrupt the low hash bits
-                _, names = remove_dupes_overall(np.asarray(hashes, dtype=np.uint64),
-                                                names, "hash", hash_thr, layout)
+                arr = np.asarray(hashes, dtype=np.uint64)
+                if n_hosts > 1:
+                    g_arr, g_names = MH.allgather_rows(arr, names)
+                    if len(g_names):
+                        _, g_keep = remove_dupes_overall(g_arr, g_names, "hash",
+                                                         hash_thr, layout)
+                        local = set(names)
+                        names = [n for n in g_keep if n in local]
+                elif names:
+                    _, names = remove_dupes_overall(arr, names, "hash",
+                                                    hash_thr, layout)
 
     paths = [layout.face_path(fn) for fn in names]
     print()

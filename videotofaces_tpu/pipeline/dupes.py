@@ -109,16 +109,22 @@ def remove_dupes_overall(x, filenames, measure_type, threshold, layout):
     goods = [fn for fn, d in zip(filenames, is_dup) if not d]
     x = np.asarray(x)[~is_dup]
 
+    # multi-host global dedup passes the union of every host's faces through
+    # here; files living on OTHER hosts are absent locally — their keep/drop
+    # decision matters (it is identical on every host), the file op does not
     if not layout.save_dupes:
         for fn in dupes:
-            os.remove(layout.face_path(osp.basename(fn)))
+            p = layout.face_path(osp.basename(fn))
+            if osp.isfile(p):
+                os.remove(p)
     else:
         part, colname = ("2", "hash_diff") if measure_type == "hash" else ("3", "distance")
         dup_dir = layout.intermediate("dupes" + part)
         os.makedirs(dup_dir, exist_ok=True)
         for fn in dupes:
             base = osp.basename(fn)
-            os.replace(layout.face_path(base), osp.join(dup_dir, base))
+            if osp.isfile(layout.face_path(base)):
+                os.replace(layout.face_path(base), osp.join(dup_dir, base))
         with open(layout.intermediate("log_dupes%s.csv" % part), "w") as f:
             f.write("file_name,nearest_in_prev,%s,marked_as_duplicate\n" % colname)
             for i in range(1, len(filenames)):

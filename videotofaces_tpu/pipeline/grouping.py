@@ -95,6 +95,8 @@ def encode_faces(paths, model, batch_size, area, images=None):
     from memory (zero-disk mode: skips the JPEG write-read round trip, so the
     encoder sees pre-compression pixels)."""
     print("Extracting features from images for grouping")
+    if not paths:  # a multi-host shard can be empty; width resolves on gather
+        return np.zeros((0, 1), np.float32)
     if getattr(model, "batch_size", False) is None:
         model.batch_size = batch_size
     timer = StageTimer()
@@ -161,7 +163,8 @@ def classify_faces(paths, x, model, spec, out_dir):
     for c in classes:
         os.makedirs(osp.join(base, c), exist_ok=True)
     for p, lbl in zip(paths, assigned):
-        os.replace(p, osp.join(base, classes[lbl], osp.basename(p)))
+        if osp.isfile(p):  # multi-host: move only faces that live here
+            os.replace(p, osp.join(base, classes[lbl], osp.basename(p)))
 
     print("Grouped %u images into %u folders:" % (len(paths), len(classes)))
     for i, c in enumerate(classes):
@@ -212,12 +215,14 @@ def cluster_faces(paths, x, spec, out_dir):
         for j in range(k):
             os.makedirs(osp.join(base, sub, str(j)), exist_ok=True)
         for p, lbl in zip(paths, labels):
-            shutil.copyfile(p, osp.join(base, sub, str(lbl), osp.basename(p)))
+            if osp.isfile(p):  # multi-host: copy only faces that live here
+                shutil.copyfile(p, osp.join(base, sub, str(lbl), osp.basename(p)))
         _print_group_sizes(sub, labels)
     print()
     timer.report()
     for p in paths:
-        os.remove(p)
+        if osp.isfile(p):
+            os.remove(p)
 
 
 def test_grouping(paths, refs, style, enc_model, device, out_dir, exclude_other,
