@@ -61,6 +61,23 @@ def test_max_pool2d_matches_torch(rng):
             np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_max_pool2d_gradient_matches_torch(rng):
+    """Training differentiates through pools (train/triplet.py); the grad
+    must route 1.0 to each window argmax exactly like torch."""
+    import torch
+
+    x = rng.normal(size=(2, 11, 13, 3)).astype(np.float32)
+    for k, s, p, ceil in [(2, 2, 0, True), (3, 2, 0, False), (3, 2, 1, False)]:
+        g = jax.grad(lambda a: jnp.sum(L.max_pool2d(a, k, s, p, ceil) ** 2))(
+            jnp.asarray(x))
+        xt = TR.nhwc_to_torch(x)
+        xt.requires_grad_(True)
+        tm = tnn.MaxPool2d(k, s, padding=p, ceil_mode=ceil)
+        (tm(xt) ** 2).sum().backward()
+        want = np.transpose(xt.grad.detach().numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(g), want, atol=1e-5)
+
+
 def test_layernorm_matches_torch(rng):
     x = rng.normal(size=(2, 5, 16)).astype(np.float32)
     m = L.LayerNorm(16, eps=1e-12)

@@ -136,7 +136,10 @@ def max_pool2d(x, k, s, padding=0, ceil_mode=False):
     pad_b = max(0, (oh - 1) * sh + kh - h - ph)
     pad_r = max(0, (ow - 1) * sw + kw - w - pw)
     pads = [(0, 0)] * (x.ndim - 3) + [(ph, pad_b), (pw, pad_r), (0, 0)]
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) for floats: jax only attaches the reverse-mode
+    # rule to reduce_window(max) when the init value is -inf, and training
+    # (train/triplet.py) differentiates through these pools
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     xp = jnp.pad(x, pads, constant_values=neg)
     window = (1,) * (x.ndim - 3) + (kh, kw, 1)
     strides = (1,) * (x.ndim - 3) + (sh, sw, 1)
