@@ -87,11 +87,18 @@ def roi_align_multilevel(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
     (random 512B-row gathers); dense is an order of magnitude faster at a
     modest FLOP premium (the weights are mostly zeros).
 
+    method="slice": per-roi ``lax.dynamic_slice`` of the [window, window]
+    patch from a row-stacked level buffer — contiguous 28 KB row DMAs
+    instead of dense's full-map matmuls (FLOP ∝ window², not H·W) or
+    gather's 512 B element rows. Bandwidth-bound: ~window²·C bytes/roi.
+
     method="gather": the original windowed-patch formulation (kept for A/B
     and for very large R where the dense FLOP premium could flip the trade).
     """
     if method == "dense":
         return _roi_align_dense(fmaps, boxes, strides, out_size, chunk)
+    if method == "slice":
+        return _roi_align_slice(fmaps, boxes, strides, out_size, window, chunk)
     return _roi_align_gather(fmaps, boxes, strides, out_size, window, max(chunk, 64))
 
 
@@ -141,6 +148,90 @@ def _roi_align_dense(fmaps, boxes, strides, out_size=7, chunk=8):
         out = out + lax.map(process, (wy_c, wx_c)).reshape(
             pad_to, out_size, out_size, c).astype(jnp.float32)
     return out[:n]
+
+
+def _roi_align_slice(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
+                     window=56, chunk=8):
+    """Windowed-patch RoIAlign where each roi's [window, window, C] patch is
+    one 2D ``lax.dynamic_slice`` out of a row-stacked buffer of all levels.
+
+    Levels are padded to a common width and to >= window rows, then stacked
+    on the row axis; a roi's patch start is (row_offset[level] + r0, c0).
+    Slice starts are clamped inside the roi's own level rows, so a slice
+    never crosses into another level; columns beyond a level's true width
+    read zero padding, and the interpolation weights there are zero anyway.
+    Numerics are identical to method="gather" (same weights, same patches).
+    """
+    c = fmaps[0].shape[-1]
+    num_levels = len(fmaps)
+    true_sizes = [(f.shape[0], f.shape[1]) for f in fmaps]
+
+    fast = config.get_precision_name() == "default"
+    if fast:
+        fmaps = [f.astype(jnp.bfloat16) for f in fmaps]
+
+    # stack levels on the row axis at a common padded width
+    wp = max(max(f.shape[1] for f in fmaps), window)
+    rows_off, padded = [], []
+    off = 0
+    for f in fmaps:
+        ph = max(f.shape[0], window)
+        padded.append(jnp.pad(f, ((0, ph - f.shape[0]), (0, wp - f.shape[1]), (0, 0))))
+        rows_off.append(off)
+        off += ph
+    buf = jnp.concatenate(padded, axis=0)                              # [sumHp, Wp, C]
+
+    levels = assign_fpn_levels(boxes, num_levels)                      # [R]
+    stride_arr = jnp.asarray(strides, jnp.float32)[levels]
+    scale = 1.0 / stride_arr
+    x1 = boxes[:, 0] * scale - 0.5
+    y1 = boxes[:, 1] * scale - 0.5
+    x2 = boxes[:, 2] * scale - 0.5
+    y2 = boxes[:, 3] * scale - 0.5
+    kh = jnp.ceil(jnp.maximum(y2 - y1, 0.0) / out_size).astype(jnp.int32)
+    kw = jnp.ceil(jnp.maximum(x2 - x1, 0.0) / out_size).astype(jnp.int32)
+
+    phs = jnp.asarray([max(s[0], window) for s in true_sizes], jnp.int32)[levels]
+    pws = jnp.asarray([max(s[1], window) for s in true_sizes], jnp.int32)[levels]
+    roff = jnp.asarray(rows_off, jnp.int32)[levels]
+
+    def win_start(c1, extent_padded):
+        s = jnp.floor(c1).astype(jnp.int32) - 1
+        return jnp.clip(s, 0, jnp.maximum(extent_padded - window, 0))
+
+    r0 = win_start(y1, phs)
+    c0 = win_start(x1, pws)
+
+    wy = jnp.zeros((boxes.shape[0], out_size, window), jnp.float32)
+    wx = jnp.zeros_like(wy)
+    for lv in range(num_levels):
+        sel = (levels == lv)[:, None, None].astype(jnp.float32)
+        wy = wy + sel * _axis_weights(y1, y2, true_sizes[lv][0], kh, r0, window, out_size)
+        wx = wx + sel * _axis_weights(x1, x2, true_sizes[lv][1], kw, c0, window, out_size)
+
+    prec = config.get_precision()
+    if fast:
+        wy = wy.astype(jnp.bfloat16)
+        wx = wx.astype(jnp.bfloat16)
+
+    def process(chunk_data):
+        row_c, col_c, wy_c, wx_c = chunk_data
+        patches = jnp.stack([
+            lax.dynamic_slice(buf, (row_c[i], col_c[i], 0), (window, window, c))
+            for i in range(row_c.shape[0])])                           # [r, P, P, C]
+        t = jnp.einsum("rbp,rpqc->rbqc", wy_c, patches, precision=prec)
+        return jnp.einsum("rdq,rbqc->rbdc", wx_c, t, precision=prec)
+
+    n = boxes.shape[0]
+    pad_to = -(-n // chunk) * chunk
+
+    def pad(a):
+        return jnp.pad(a, [(0, pad_to - n)] + [(0, 0)] * (a.ndim - 1))
+
+    data = tuple(pad(a).reshape((pad_to // chunk, chunk) + a.shape[1:])
+                 for a in (roff + r0, c0, wy, wx))
+    out = lax.map(process, data)
+    return out.reshape(pad_to, out_size, out_size, c)[:n].astype(jnp.float32)
 
 
 def _roi_align_gather(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
