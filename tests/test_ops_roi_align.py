@@ -54,7 +54,7 @@ def np_roi_align_single(fmap, box, stride, out=7):
 import pytest
 
 
-@pytest.mark.parametrize("method", ["dense", "gather", "slice"])
+@pytest.mark.parametrize("method", ["dense", "sorted", "gather", "slice"])
 def test_roi_align_matches_oracle(rng, method):
     strides = (4, 8, 16, 32)
     sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]  # 256x384 input

@@ -50,7 +50,7 @@ def main():
     lv = np.asarray(RA.assign_fpn_levels(boxes[0]))
     print("n=%d level histogram: %s" % (n, np.bincount(lv, minlength=4)))
 
-    for method, batcher in (("dense", "vmap"), ("slice", "vmap"), ("slice", "map")):
+    for method, batcher in (("dense", "vmap"), ("sorted", "map")):
         for chunk in chunks:
             def fn(fm, bx, method=method, batcher=batcher):
                 per_image = lambda b, f0, f1, f2, f3: RA.roi_align_multilevel(

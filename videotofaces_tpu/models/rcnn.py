@@ -156,14 +156,28 @@ def rpn_proposals(regs, logs, priors_per_level, canvas_used_hw, lvtop=1000,
 
 
 def roi_detections(apply_head, pyramid, proposals, pvalid, canvas_used_hw,
-                   num_classes=1, score_thr=0.05, iou_thr=0.5, out_top=100):
-    """RoIAlign + head + fixed-capacity final decode/NMS (rcnn.py:103-124)."""
+                   num_classes=1, score_thr=0.05, iou_thr=0.5, out_top=100,
+                   roi_method="dense"):
+    """RoIAlign + head + fixed-capacity final decode/NMS (rcnn.py:103-124).
+
+    ``roi_method="sorted"`` batches images with ``lax.map`` so the
+    level-sorted formulation's ``lax.switch`` stays a real branch (vmap
+    would flatten it into compute-all-branches selects); other methods
+    batch with vmap. On-chip A/B at batch-2 x 1000 rois: sorted 14.4 ms vs
+    dense 13.0 — the serialized per-chunk dispatch outweighs the ~2x FLOP
+    cut on this part, so dense stays the default.
+    """
     b, r = proposals.shape[:2]
 
     def roi_one(bx, f0, f1, f2, f3):
-        return roi_align_multilevel([f0, f1, f2, f3], bx, STRIDES[:4])
+        return roi_align_multilevel([f0, f1, f2, f3], bx, STRIDES[:4],
+                                    method=roi_method)
 
-    roi_maps = jax.vmap(roi_one)(proposals, *pyramid[:4])       # [B, R, 7, 7, C]
+    if roi_method == "sorted":
+        roi_maps = jax.lax.map(lambda a: roi_one(*a),
+                               (proposals,) + tuple(pyramid[:4]))
+    else:
+        roi_maps = jax.vmap(roi_one)(proposals, *pyramid[:4])   # [B, R, 7, 7, C]
     reg, cls = apply_head(roi_maps.reshape(b * r, *roi_maps.shape[2:]))
     nc = num_classes
     reg = reg.reshape(b, r, nc, 4)

@@ -97,6 +97,8 @@ def roi_align_multilevel(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
     """
     if method == "dense":
         return _roi_align_dense(fmaps, boxes, strides, out_size, chunk)
+    if method == "sorted":
+        return _roi_align_dense_sorted(fmaps, boxes, strides, out_size, chunk)
     if method == "slice":
         return _roi_align_slice(fmaps, boxes, strides, out_size, window, chunk)
     return _roi_align_gather(fmaps, boxes, strides, out_size, window, max(chunk, 64))
@@ -148,6 +150,110 @@ def _roi_align_dense(fmaps, boxes, strides, out_size=7, chunk=8):
         out = out + lax.map(process, (wy_c, wx_c)).reshape(
             pad_to, out_size, out_size, c).astype(jnp.float32)
     return out[:n]
+
+
+def _roi_align_dense_sorted(fmaps, boxes, strides, out_size=7, chunk=8):
+    """Dense separable RoIAlign with rois SORTED by FPN level.
+
+    The plain dense method pays every level's matmul for every roi (the
+    off-level weights are zero). After a stable sort by level, all but the
+    <= num_levels-1 boundary chunks are level-homogeneous, and a
+    ``lax.switch`` computes just that level's [7, H_l] @ [H_l, W_l*C]
+    contraction. Mixed boundary chunks fall through to the all-levels
+    branch with per-roi level masking (exactly the plain dense math), so
+    results are identical to method="dense" in any roi order; outputs are
+    unsorted back at the end. FLOP cost drops from
+    n * sum_l cost_l  to  sum_l n_l * cost_l  (~2x for RPN-proposal mixes).
+
+    Measured on chip (batch-2 x 1000 rois, P2-heavy mix): 14.4 ms vs 13.0
+    for plain dense — the lax.switch forces ``lax.map`` batching over
+    images (vmap would flatten the switch into compute-every-branch
+    selects), and twice as many, half-sized sequential chunk dispatches
+    cost more than the saved FLOPs. Kept for A/B and for regimes (bigger
+    batch per dispatch, more rois) where the trade could flip.
+    """
+    num_levels = len(fmaps)
+    n = boxes.shape[0]
+    c = fmaps[0].shape[-1]
+    fast = config.get_precision_name() == "default"
+    prec = config.get_precision()
+
+    levels = assign_fpn_levels(boxes, num_levels)
+    order = jnp.argsort(levels, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    boxes = boxes[order]
+    levels = levels[order]
+    zeros = jnp.zeros((n,), jnp.int32)
+
+    hmax = max(f.shape[0] for f in fmaps)
+    wmax = max(f.shape[1] for f in fmaps)
+    # per-roi weights AT THE ROI'S OWN LEVEL, zero-padded to the largest
+    # level extent (rows past a level's true size get zero weight)
+    wy = jnp.zeros((n, out_size, hmax), jnp.float32)
+    wx = jnp.zeros((n, out_size, wmax), jnp.float32)
+    sels = []
+    for lv in range(num_levels):
+        f = fmaps[lv]
+        scale = 1.0 / strides[lv]
+        x1 = boxes[:, 0] * scale - 0.5
+        y1 = boxes[:, 1] * scale - 0.5
+        x2 = boxes[:, 2] * scale - 0.5
+        y2 = boxes[:, 3] * scale - 0.5
+        kh = jnp.ceil(jnp.maximum(y2 - y1, 0.0) / out_size).astype(jnp.int32)
+        kw = jnp.ceil(jnp.maximum(x2 - x1, 0.0) / out_size).astype(jnp.int32)
+        sel = (levels == lv).astype(jnp.float32)
+        sels.append(sel)
+        wy = wy + sel[:, None, None] * _axis_weights(y1, y2, f.shape[0], kh, zeros, hmax, out_size)
+        wx = wx + sel[:, None, None] * _axis_weights(x1, x2, f.shape[1], kw, zeros, wmax, out_size)
+    sels = jnp.stack(sels, axis=1)                                     # [n, L]
+
+    if fast:
+        wy = wy.astype(jnp.bfloat16)
+        wx = wx.astype(jnp.bfloat16)
+        fmaps = [f.astype(jnp.bfloat16) for f in fmaps]
+
+    pad_to = -(-n // chunk) * chunk
+    n_chunks = pad_to // chunk
+
+    def pad(a):
+        return jnp.pad(a, [(0, pad_to - n)] + [(0, 0)] * (a.ndim - 1))
+
+    wy_c = pad(wy).reshape(n_chunks, chunk, out_size, hmax)
+    wx_c = pad(wx).reshape(n_chunks, chunk, out_size, wmax)
+    sel_c = pad(sels).reshape(n_chunks, chunk, num_levels)
+    lvl_c = pad(levels).reshape(n_chunks, chunk)
+
+    def one_level(lv, wy_k, wx_k, mask=None):
+        f = fmaps[lv]
+        h, w = f.shape[0], f.shape[1]
+        wy_l = wy_k[:, :, :h]
+        if mask is not None:
+            wy_l = wy_l * mask.astype(wy_l.dtype)[:, None, None]
+        t = jnp.einsum("rbh,hwc->rbwc", wy_l, f, precision=prec)
+        return jnp.einsum("rdw,rbwc->rbdc", wx_k[:, :, :w], t, precision=prec)
+
+    branches = [
+        (lambda args, lv=lv: one_level(lv, args[0], args[1]).astype(jnp.float32))
+        for lv in range(num_levels)
+    ]
+
+    def mixed(args):
+        wy_k, wx_k, sel_k = args
+        acc = jnp.zeros((chunk, out_size, out_size, c), jnp.float32)
+        for lv in range(num_levels):
+            acc = acc + one_level(lv, wy_k, wx_k, sel_k[:, lv]).astype(jnp.float32)
+        return acc
+
+    branches.append(mixed)
+
+    def process(args):
+        wy_k, wx_k, sel_k, lvl_k = args
+        hom = lvl_k[0] == lvl_k[-1]            # sorted => endpoints decide
+        idx = jnp.where(hom, lvl_k[0], num_levels)
+        return lax.switch(idx, branches, (wy_k, wx_k, sel_k))
+
+    out = lax.map(process, (wy_c, wx_c, sel_c, lvl_c))
+    return out.reshape(pad_to, out_size, out_size, c)[:n][inv]
 
 
 def _roi_align_slice(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
