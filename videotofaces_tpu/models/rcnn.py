@@ -21,7 +21,7 @@ from flax import linen as nn
 from ..ops.anchors import make_anchors
 from ..ops.boxes import clamp_to_canvas, convert_to_cwh, decode_boxes, small_boxes_mask
 from ..ops.nms import nms_keep_mask, topk_by_score
-from ..ops.resize import bilinear_resize_matmul as bilinear_resize
+from ..ops.resize import bilinear_resize_matmul
 from ..ops.roi_align import roi_align_multilevel
 from .. import config
 from .layers import ConvUnit, max_pool2d
@@ -223,13 +223,25 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
     else:
         h, w = orig_hw
     nh, nw = resized_hw
-    x = frames_u8[..., ::-1].astype(jnp.float32)
-    if orig_hw is None:
-        x = bilinear_resize(x, (nh, nw))
-    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-    x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
+    if compute_dtype is not None and orig_hw is None:
+        # Throughput mode: resize straight from uint8 onto the /32 canvas
+        # (zero-padded interpolation matrices make the pad free), then one
+        # fused masked-normalize pass — channel flip and the per-channel
+        # affine commute with the spatial resize, and the ImageNet shift
+        # must not leak into the zero pad region, hence the valid-rect mask.
+        x = bilinear_resize_matmul(frames_u8, (nh, nw), canvas_hw=canvas_hw)
+        rows = jnp.arange(canvas_hw[0])[:, None] < nh
+        cols = jnp.arange(canvas_hw[1])[None, :] < nw
+        norm = (x[..., ::-1] - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        x = jnp.where((rows & cols)[..., None], norm, 0.0).astype(compute_dtype)
+    else:
+        x = frames_u8[..., ::-1].astype(jnp.float32)
+        if orig_hw is None:
+            x = bilinear_resize_matmul(x, (nh, nw))
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
     pyramid, regs, logs = FasterRCNN(num_classes).apply({"params": params["body"]}, x)
     regs = [t.astype(jnp.float32) for t in regs]
     logs = [t.astype(jnp.float32) for t in logs]

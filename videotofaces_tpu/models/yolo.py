@@ -20,7 +20,7 @@ from ..ops.anchors import get_priors
 from ..ops.boxes import decode_boxes
 from ..ops.nms import nms_keep_mask
 from ..ops.select import block_topk_select
-from ..ops.resize import bilinear_resize_matmul as bilinear_resize
+from ..ops.resize import bilinear_resize_matmul
 from .layers import ConvUnit
 
 BASES = [
@@ -210,15 +210,28 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
     else:
         h, w = orig_hw
     nh, nw = resized_hw
-    x = frames_u8[..., ::-1].astype(jnp.float32)  # BGR -> RGB
-    if orig_hw is None:
-        x = bilinear_resize(x, (nh, nw))
-    x = x / 255.0
-    x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
-    if compute_dtype is not None:
-        # bf16 params + bf16 activations: native-dtype MXU passes, halved
-        # weight streaming; measured ~16% faster, identical detections
-        x = x.astype(compute_dtype)
+    if compute_dtype is not None and orig_hw is None:
+        # Throughput mode: resize FIRST, straight from uint8, landing on the
+        # /32 canvas via zero-padded interpolation matrices (the pad step
+        # comes free out of the second matmul). BGR->RGB and /255 are
+        # channel/scalar ops that commute with the spatial resize and run
+        # on the small canvas tensor instead of full-res. XLA fuses the
+        # u8->f32 convert into the einsum reads, so the [B, 1080, 1920, 3]
+        # f32 tensor is never materialized (that materialization alone
+        # costs ~3 ms/batch-8; see tools/profile_preprocess.py).
+        x = bilinear_resize_matmul(frames_u8, (nh, nw), canvas_hw=canvas_hw)
+        x = (x[..., ::-1] / 255.0).astype(compute_dtype)
+    else:
+        x = frames_u8[..., ::-1].astype(jnp.float32)  # BGR -> RGB
+        if orig_hw is None:
+            x = bilinear_resize_matmul(x, (nh, nw))
+        x = x / 255.0
+        x = jnp.pad(x, ((0, 0), (0, canvas_hw[0] - nh), (0, canvas_hw[1] - nw), (0, 0)))
+        if compute_dtype is not None:
+            # bf16 params + bf16 activations: native-dtype MXU passes,
+            # halved weight streaming; measured ~16% faster, identical
+            # detections
+            x = x.astype(compute_dtype)
     maps = YOLOv3(num_classes).apply({"params": params}, x)
     maps = [t.astype(jnp.float32) for t in maps]
     boxes, scores, classes, valid, overflow = postprocess(

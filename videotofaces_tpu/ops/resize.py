@@ -177,8 +177,13 @@ def _bilinear_matrix(in_size: int, out_size: int):
     return w.astype(np.float32)
 
 
-def bilinear_resize_matmul(x, out_hw):
+def bilinear_resize_matmul(x, out_hw, canvas_hw=None):
     """Half-pixel bilinear resize as two static MXU matmuls (NHWC/HWC float).
+
+    ``canvas_hw``: if given (>= out_hw), the interpolation matrices are
+    zero-padded so the output lands on a [canvas_h, canvas_w] zero canvas
+    directly — the detector pad-to-/32 step comes free out of the second
+    matmul instead of being a separate full-tensor copy.
 
     Numerically equivalent to ``bilinear_resize`` (tested), but lowers to
     dense matmuls instead of XLA's gather/select resize expansion — measured
@@ -196,8 +201,14 @@ def bilinear_resize_matmul(x, out_hw):
 
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = out_hw
-    wh = jnp.asarray(_bilinear_matrix(h, oh))
-    ww = jnp.asarray(_bilinear_matrix(w, ow))
+    wh = _bilinear_matrix(h, oh)
+    ww = _bilinear_matrix(w, ow)
+    if canvas_hw is not None:
+        ch, cw = canvas_hw
+        wh = np.pad(wh, ((0, ch - oh), (0, 0)))
+        ww = np.pad(ww, ((0, cw - ow), (0, 0)))
+    wh = jnp.asarray(wh)
+    ww = jnp.asarray(ww)
     x = x.astype(jnp.float32)
     prec = config.get_precision()
     x = jnp.einsum("oh,...hwc->...owc", wh, x, precision=prec)
