@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from videotofaces_tpu.serve import (FaceService, ServeClient, _bucket,
-                                    serve_forever)
+                                    make_server, serve_forever)
 from videotofaces_tpu.specs import BoxCriteria
 
 
@@ -158,3 +158,27 @@ def test_socket_daemon_round_trip(tmp_path):
         client.close()
     t.join(timeout=10)
     assert not t.is_alive()
+
+
+def test_tcp_daemon_round_trip():
+    """Same framed protocol over TCP: port 0 -> OS-assigned, read back."""
+    svc = _make_service()
+    srv = make_server(svc, ("127.0.0.1", 0))
+    host, port = srv.server_address[:2]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    client = ServeClient((host, port))
+    try:
+        assert client.ping() is True
+        frames = _frames(2, seed=11)
+        got = client.detect(frames)
+        want = svc.detect(frames)
+        for (gb, gs), (wb, ws) in zip(got, want):
+            np.testing.assert_allclose(gb, wb, rtol=1e-6)
+            np.testing.assert_allclose(gs, ws, rtol=1e-6)
+        client.shutdown()
+    finally:
+        client.close()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    srv.server_close()

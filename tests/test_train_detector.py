@@ -86,6 +86,72 @@ def test_head_finetune_descends_and_freezes_trunk(rng):
     assert moved
 
 
+def test_full_finetune_layerwise(rng):
+    frames, gts = _synthetic_faces(rng, 8)
+    model = Y.YOLOv3(1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)))["params"]
+    before = jax.tree.map(np.asarray, params)
+    # full fine-tuning with inference-mode BN (frozen stats) has nothing
+    # renormalizing activations, so it needs a gentler lr than the
+    # head-only path (3e-3 NaNs around step 5; 1e-3 descends cleanly)
+    out, hist = TD.finetune_yolo_full(frames, gts, epochs=6, batch_size=4,
+                                      learning_rate=1e-3, max_side=64,
+                                      params=params, seed=0)
+    assert hist[-1] < hist[0], hist
+
+    def max_delta(key):
+        return max(np.max(np.abs(np.asarray(a) - np.asarray(b)))
+                   for a, b in zip(jax.tree.leaves(before[key]),
+                                   jax.tree.leaves(out[key])))
+
+    # every module moved; adamw step size ~ lr * scale, so the backbone's
+    # largest step stays well under the head's
+    assert max_delta("backbone") > 0.0
+    assert max_delta("neck") > 0.0
+    assert max_delta("head") > 2.0 * max_delta("backbone")
+
+    # scale 0.0 freezes a module outright
+    out2, _ = TD.finetune_yolo_full(frames, gts, epochs=1, batch_size=4,
+                                    learning_rate=1e-3, max_side=64,
+                                    params=params, seed=0,
+                                    trunk_scales={"backbone": 0.0,
+                                                  "neck": 0.3, "head": 1.0})
+    for a, b in zip(jax.tree.leaves(before["backbone"]),
+                    jax.tree.leaves(out2["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_full_step_matches_single_device(rng):
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    frames, gts = _synthetic_faces(rng, 4)
+    priors, strides = Y.flat_priors_and_strides((64, 64))
+    canvas = frames[..., ::-1].astype(np.float32) / 255.0
+    obj_t, box_t = TD.assign_batch(list(gts), priors)
+    params = jax.jit(Y.YOLOv3(1).init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))["params"]
+    tx = TD.layerwise_tx(1e-3)
+    opt = tx.init(params)
+    pr, st = jnp.asarray(priors), jnp.asarray(strides)
+
+    p1, o1, loss1, _ = jax.jit(
+        lambda pp, oo, x, ot, bt: TD.train_step_full(pp, oo, x, ot, bt,
+                                                     pr, st, tx))(
+        params, opt, jnp.asarray(canvas), jnp.asarray(obj_t), jnp.asarray(box_t))
+
+    from videotofaces_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(n_data=4, devices=devs[:4])
+    step, sp, so = TD.make_sharded_full_step(mesh, tx, params, opt,
+                                             priors, strides)
+    p2, o2, loss2, _ = step(sp, so, jnp.asarray(canvas),
+                            jnp.asarray(obj_t), jnp.asarray(box_t))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_sharded_head_step_matches_single_device(rng):
     devs = jax.devices()
     if len(devs) < 4:

@@ -115,6 +115,89 @@ def test_sharded_step_matches_single_device(rng):
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_xbm_mining_uses_bank_negatives(rng):
+    emb = jnp.asarray(rng.normal(size=(6, 5)).astype(np.float32))
+    labels = jnp.asarray(np.asarray([0, 0, 1, 1, 2, 2], np.int32))
+    # bank holds a negative RIGHT on top of anchor 0 -> its d_an must drop to ~0
+    bank_emb = jnp.concatenate([emb[0:1], jnp.full((3, 5), 50.0)], axis=0)
+    bank_labels = jnp.asarray(np.asarray([7, 8, 9, 10], np.int32))
+    bank_valid = jnp.asarray([True, True, False, False])
+
+    d_ap0, d_an0, v0 = T.batch_hard_mining(emb, labels)
+    d_ap1, d_an1, v1 = jax.jit(T.batch_hard_mining_xbm)(
+        emb, labels, bank_emb, bank_labels, bank_valid)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(d_ap0), np.asarray(d_ap1),
+                               rtol=1e-6)
+    assert float(d_an1[0]) < 1e-6 < float(d_an0[0])
+    # invalid bank rows (the far-away 50s) must not affect anyone
+    assert (np.asarray(d_an1) <= np.asarray(d_an0) + 1e-6).all()
+
+    # an all-same-label batch has no in-batch negatives; the bank provides
+    # them, so anchors become valid
+    same = jnp.zeros((4,), jnp.int32)
+    _, _, v_batch = T.batch_hard_mining(emb[:4], same)
+    _, d_an_b, v_bank = T.batch_hard_mining_xbm(emb[:4], same, bank_emb,
+                                               bank_labels, bank_valid)
+    assert not np.asarray(v_batch).any() and np.asarray(v_bank).all()
+    assert np.isfinite(np.asarray(d_an_b)).all()
+
+
+def test_memory_bank_fifo():
+    bank = T.MemoryBank(4, 2)
+    assert not bank.valid.any()
+    bank.push(np.ones((2, 2)), [1, 2])
+    assert list(bank.labels) == [1, 2, -1, -1]
+    bank.push(2 * np.ones((3, 2)), [3, 4, 5])
+    # ring wrapped: oldest (label 1) overwritten
+    assert sorted(bank.labels[bank.valid]) == [2, 3, 4, 5]
+    # oversized push keeps the newest `capacity` rows
+    bank.push(np.arange(12).reshape(6, 2), [6, 7, 8, 9, 10, 11])
+    assert sorted(bank.labels) == [8, 9, 10, 11]
+
+
+def test_finetune_with_bank_descends(rng):
+    model = TinyEnc()
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 12, 12, 3)))["params"]
+    xs, ys = _class_images(rng, n_per_class=8)
+    xs_u8 = np.clip((xs + 2) * 50, 0, 255).astype(np.uint8)
+    out_params, hist = T.finetune_facenet(
+        xs_u8, ys, epochs=8, batch_size=12, learning_rate=5e-3,
+        model=model, params=params, bank_size=16)
+    assert len(hist) == 8 and all(np.isfinite(h) for h in hist)
+    assert hist[-1] < hist[0], hist
+
+
+def test_sharded_xbm_step_matches_single_device(rng):
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    model = TinyEnc()
+    params, opt_state, tx = T.create_train_state(
+        model, jax.random.PRNGKey(4), (1, 12, 12, 3), learning_rate=1e-3)
+    xs, ys = _class_images(rng, n_per_class=4)
+    x, y = jnp.asarray(xs), jnp.asarray(ys)
+    bank = T.MemoryBank(8, 8)
+    bank.push(rng.normal(size=(5, 8)).astype(np.float32), [9, 9, 8, 8, 7])
+    be, bl, bv = bank.arrays()
+
+    p1, o1, loss1, act1, emb1 = jax.jit(
+        lambda p, o, xx, yy: T.train_step_xbm(p, o, xx, yy, be, bl, bv,
+                                              model, tx))(
+        params, opt_state, x, y)
+
+    mesh = make_mesh(n_data=4, devices=devs[:4])
+    step, sp, so = T.make_sharded_xbm_step(mesh, model, tx, params, opt_state)
+    p2, o2, loss2, act2, emb2 = step(sp, so, x, y, be, bl, bv)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(emb1), np.asarray(emb2),
+                               rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_finetune_facenet_loop_with_injected_model(rng):
     """The convenience loop: epoch shuffling, tail-batch drop, history — with
     a tiny injected model so the loop logic is what's under test."""

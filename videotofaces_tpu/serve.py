@@ -11,12 +11,15 @@ cold-start. Two layers:
   and offers ``warmup()`` to pay all compiles before the first request.
   ``extract()`` is the full detect -> filter/adjust -> crop -> embed step —
   the serving analogue of one pipeline iteration (pipeline/detection.py).
-- a Unix-domain-socket daemon (``serve_forever`` / ``ServeClient``) speaking
-  a length-prefixed binary protocol: JSON header + raw ndarray payload, no
-  third-party dependencies. Requests are served FIFO under a device lock
-  (the XLA stream is the real queue; the lock keeps wrapper state sane).
+- a socket daemon (``serve_forever`` / ``ServeClient``) speaking a
+  length-prefixed binary protocol: JSON header + raw ndarray payload, no
+  third-party dependencies; transports are a Unix domain socket (local) or
+  TCP (remote clients), same framing on both. Requests are served FIFO
+  under a device lock (the XLA stream is the real queue; the lock keeps
+  wrapper state sane).
 
 Run:  python -m videotofaces_tpu.serve --socket /tmp/v2f.sock --style live
+      python -m videotofaces_tpu.serve --tcp 0.0.0.0:7433 --style live
 """
 
 import json
@@ -295,24 +298,54 @@ class _Server(socketserver.ThreadingUnixStreamServer):
     allow_reuse_address = True
 
 
-def serve_forever(service, socket_path):
-    """Blocking daemon loop; returns when a client sends ``shutdown``."""
-    if os.path.exists(socket_path):
-        os.unlink(socket_path)
-    with _Server(socket_path, _Handler) as srv:
-        srv.service = service
-        print("v2f serving on %s" % socket_path)
+class _TcpServer(socketserver.ThreadingTCPServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+
+def make_server(service, address):
+    """Build a (not yet running) daemon server.
+
+    ``address``: a unix-socket path (str) or a ``(host, port)`` tuple — the
+    wire protocol is identical on both transports. With port 0 the OS picks
+    a free port; read it back from ``server.server_address``.
+    """
+    if isinstance(address, tuple):
+        srv = _TcpServer(address, _Handler)
+    else:
+        if os.path.exists(address):
+            os.unlink(address)
+        srv = _Server(address, _Handler)
+    srv.service = service
+    return srv
+
+
+def serve_forever(service, socket_path=None, tcp=None):
+    """Blocking daemon loop; returns when a client sends ``shutdown``.
+
+    ``socket_path``: unix socket to listen on, or ``tcp=(host, port)`` for
+    the TCP transport (same framed protocol).
+    """
+    address = tcp if tcp is not None else socket_path
+    with make_server(service, address) as srv:
+        print("v2f serving on %s" % (srv.server_address,))
         srv.serve_forever()
-    if os.path.exists(socket_path):
-        os.unlink(socket_path)
+    if isinstance(address, str) and os.path.exists(address):
+        os.unlink(address)
 
 
 class ServeClient:
-    """Client for the daemon; mirrors the FaceService methods."""
+    """Client for the daemon; mirrors the FaceService methods.
 
-    def __init__(self, socket_path):
-        self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self.sock.connect(socket_path)
+    ``address``: unix-socket path (str) or ``(host, port)`` tuple for TCP.
+    """
+
+    def __init__(self, address):
+        if isinstance(address, tuple):
+            self.sock = socket.create_connection(address)
+        else:
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self.sock.connect(address)
 
     def close(self):
         self.sock.close()
@@ -373,7 +406,9 @@ def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(prog="videotofaces_tpu.serve")
-    p.add_argument("--socket", required=True, help="unix socket path to listen on")
+    p.add_argument("--socket", help="unix socket path to listen on")
+    p.add_argument("--tcp", metavar="HOST:PORT",
+                   help="TCP address to listen on instead of a unix socket")
     p.add_argument("--style", default="live", choices=["live", "anime"])
     p.add_argument("--det-model", default="default")
     p.add_argument("--enc-model", default="default")
@@ -383,6 +418,8 @@ def main(argv=None):
     p.add_argument("--warmup-res", type=int, nargs=2, action="append",
                    help="HEIGHT WIDTH resolution to pre-compile (repeatable)")
     args = p.parse_args(argv)
+    if bool(args.socket) == bool(args.tcp):
+        p.error("exactly one of --socket / --tcp is required")
     det_kw = {}
     if args.det_max_side:
         det_kw["max_side" if args.det_model in ("yolo", "default")
@@ -394,7 +431,11 @@ def main(argv=None):
                           det_kw=det_kw)
     if args.warmup_res:
         service.warmup(resolutions=[tuple(r) for r in args.warmup_res])
-    serve_forever(service, args.socket)
+    if args.tcp:
+        host, _, port = args.tcp.rpartition(":")
+        serve_forever(service, tcp=(host or "0.0.0.0", int(port)))
+    else:
+        serve_forever(service, args.socket)
 
 
 if __name__ == "__main__":

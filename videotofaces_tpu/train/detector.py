@@ -1,8 +1,10 @@
-"""Detector head fine-tuning: adapt YOLOv3 to a custom face domain.
+"""Detector fine-tuning: adapt YOLOv3 to a custom face domain.
 
-The reference ships fixed pretrained detectors; adapting to a new domain
-(e.g. stylized faces the WIDER weights miss) only needs the head re-fit —
-the Darknet trunk stays frozen. TPU-first split of the work:
+The reference ships fixed pretrained detectors; this module adds two
+adaptation paths: head-only re-fit (``finetune_yolo_head`` — Darknet trunk
+frozen, the cheap default) and full fine-tuning with layerwise learning
+rates (``finetune_yolo_full`` — backbone/neck/head train at 0.1/0.3/1.0x
+via ``layerwise_tx``). TPU-first split of the work:
 
 - **target assignment runs on host** (numpy, per batch): each prior gets an
   objectness target in {1 positive, 0 negative, -1 ignore} and the matched
@@ -103,17 +105,24 @@ def _bce_logits(logit, target):
     return optax.sigmoid_binary_cross_entropy(logit, target)
 
 
-def detection_loss(head_params, trunk_params, images, obj_t, box_t,
-                   priors, strides, num_classes=1, box_weight=2.0):
-    """One batch: images [B, Hc, Wc, 3] float (canvas, RGB, /255); targets
-    from assign_batch. Returns (loss, aux dict of components)."""
-    params = dict(trunk_params)
-    params["head"] = head_params
+def detection_loss_full(params, images, obj_t, box_t, priors, strides,
+                        num_classes=1, box_weight=2.0):
+    """One batch against the FULL param tree: images [B, Hc, Wc, 3] float
+    (canvas, RGB, /255); targets from assign_batch. Returns (loss, aux dict
+    of components). Differentiable w.r.t. every parameter — the full
+    fine-tune path; the head-only path wraps this with the trunk held
+    constant."""
     maps = Y.YOLOv3(num_classes).apply({"params": params}, images)
     b = maps[0].shape[0]
     flat = jnp.concatenate([m.reshape(b, -1, num_classes + 5) for m in maps],
                            axis=1)                           # [B, D, 5+nc]
     reg, obj_logit = flat[..., :4], flat[..., 4]
+    # training-only overflow guard: wh decode is prior * exp(reg[2:4]); an
+    # unconstrained trunk can push reg past exp's f32 range, making inf
+    # boxes whose GIoU is inf/inf = NaN in the FORWARD pass (the inference
+    # decode stays unclamped for parity — trained nets never get there)
+    reg = jnp.concatenate([reg[..., :2], jnp.clip(reg[..., 2:4], -10.0, 10.0)],
+                          axis=-1)
     pos = obj_t > 0.5
     learn = obj_t > -0.5                                     # not ignored
     n_pos = jnp.maximum(jnp.sum(pos), 1.0)
@@ -127,6 +136,16 @@ def detection_loss(head_params, trunk_params, images, obj_t, box_t,
 
     loss = obj_loss + cls_loss + box_weight * box_loss
     return loss, {"obj": obj_loss, "cls": cls_loss, "box": box_loss}
+
+
+def detection_loss(head_params, trunk_params, images, obj_t, box_t,
+                   priors, strides, num_classes=1, box_weight=2.0):
+    """Head-only view of ``detection_loss_full``: the trunk enters as a
+    constant, so jax differentiates just the head."""
+    params = dict(trunk_params)
+    params["head"] = head_params
+    return detection_loss_full(params, images, obj_t, box_t, priors, strides,
+                               num_classes, box_weight)
 
 
 def train_step(head_params, opt_state, trunk_params, images, obj_t, box_t,
@@ -161,6 +180,94 @@ def make_sharded_head_step(mesh, tx, head_params, opt_state, trunk_params,
     return fn, head_params, opt_state
 
 
+def layerwise_tx(learning_rate, scales=None, clip_norm=1.0):
+    """Discriminative layerwise optimizer for full fine-tuning.
+
+    ``scales`` maps top-level module names ('backbone', 'neck', 'head') to
+    learning-rate multipliers; pretrained trunks want smaller steps than the
+    re-fit head (scale 0.0 freezes a module outright via set_to_zero).
+    Built on optax.multi_transform with the top-level key as the label,
+    behind global-norm gradient clipping — full fine-tuning is exposed to
+    the unclamped exp in the yolo box decode (early garbage boxes produce
+    exploding GIoU gradients that NaN the trunk without it).
+    """
+    scales = dict(scales or {"backbone": 0.1, "neck": 0.3, "head": 1.0})
+    transforms = {
+        k: (optax.set_to_zero() if s == 0.0 else optax.adamw(learning_rate * s))
+        for k, s in scales.items()
+    }
+    # BatchNormInference running statistics are flax PARAMS (so checkpoints
+    # load them), but they are statistics, not weights: training them lets
+    # adamw drive var negative and the forward NaNs on sqrt(var + eps).
+    # Freeze every bn/mean, bn/var leaf; bn scale/bias stay trainable.
+    transforms["_bn_stats"] = optax.set_to_zero()
+
+    def labels(p):
+        def lab(path, _):
+            keys = [getattr(k, "key", None) for k in path]
+            if "bn" in keys and keys[-1] in ("mean", "var"):
+                return "_bn_stats"
+            return keys[0]
+        return jax.tree_util.tree_map_with_path(lab, p)
+
+    layered = optax.multi_transform(transforms, labels)
+    if clip_norm is None:
+        return layered
+    return optax.chain(optax.clip_by_global_norm(clip_norm), layered)
+
+
+def train_step_full(params, opt_state, images, obj_t, box_t, priors, strides,
+                    tx, num_classes=1, box_weight=2.0):
+    (loss, aux), grads = jax.value_and_grad(detection_loss_full, has_aux=True)(
+        params, images, obj_t, box_t, priors, strides, num_classes, box_weight)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, aux
+
+
+def make_sharded_full_step(mesh, tx, params, opt_state, priors, strides,
+                           num_classes=1, box_weight=2.0):
+    """dp-sharded jitted full-fine-tune step: params/opt replicated, batch
+    sharded; XLA inserts the gradient psums over ICI."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    pr = jax.device_put(jnp.asarray(priors), repl)
+    st = jax.device_put(jnp.asarray(strides), repl)
+
+    def step(pp, opt, images, obj_t, box_t):
+        return train_step_full(pp, opt, images, obj_t, box_t, pr, st, tx,
+                               num_classes, box_weight)
+
+    fn = jax.jit(step, in_shardings=(repl, repl, data, data, data),
+                 out_shardings=(repl, repl, repl, repl),
+                 donate_argnums=(0, 1))
+    return fn, params, opt_state
+
+
+def _prepare_yolo_data(frames_u8, gt_boxes_list, max_side, priors,
+                       pos_iou, neg_iou, nh, nw, ch, cw):
+    """Host prep shared by the fine-tune loops: cv2 keep-ratio resize onto
+    the /32 canvas (the inference wrapper's host_resize path) + per-frame
+    target assignment."""
+    import cv2
+
+    n, h, w = frames_u8.shape[:3]
+    sx, sy = nw / w, nh / h
+    canvas = np.zeros((n, ch, cw, 3), np.float32)
+    obj_ts, box_ts = [], []
+    for i in range(n):
+        r = cv2.resize(frames_u8[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+        canvas[i, :nh, :nw] = r[..., ::-1].astype(np.float32) / 255.0
+        g = np.asarray(gt_boxes_list[i], np.float32).reshape(-1, 4) \
+            * np.asarray([sx, sy, sx, sy], np.float32)
+        o, bt = assign_targets(g, priors, pos_iou, neg_iou)
+        obj_ts.append(o)
+        box_ts.append(bt)
+    return canvas, np.stack(obj_ts), np.stack(box_ts)
+
+
 def finetune_yolo_head(frames_u8, gt_boxes_list, epochs=5, batch_size=8,
                        learning_rate=1e-4, max_side=608, num_classes=1,
                        mesh=None, seed=0, params=None, pos_iou=0.5,
@@ -173,8 +280,6 @@ def finetune_yolo_head(frames_u8, gt_boxes_list, epochs=5, batch_size=8,
 
     Returns (params, history of per-epoch mean loss).
     """
-    import cv2
-
     frames_u8 = np.asarray(frames_u8)
     n, h, w = frames_u8.shape[:3]
     nh, nw = Y.resized_shape(h, w, max_side)
@@ -191,18 +296,9 @@ def finetune_yolo_head(frames_u8, gt_boxes_list, epochs=5, batch_size=8,
     tx = optax.adamw(learning_rate)
     opt_state = tx.init(head)
 
-    sx, sy = nw / w, nh / h
-    canvas = np.zeros((n, ch, cw, 3), np.float32)
-    obj_ts, box_ts = [], []
-    for i in range(n):
-        r = cv2.resize(frames_u8[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
-        canvas[i, :nh, :nw] = r[..., ::-1].astype(np.float32) / 255.0
-        g = np.asarray(gt_boxes_list[i], np.float32).reshape(-1, 4) \
-            * np.asarray([sx, sy, sx, sy], np.float32)
-        o, bt = assign_targets(g, priors, pos_iou, neg_iou)
-        obj_ts.append(o)
-        box_ts.append(bt)
-    obj_ts, box_ts = np.stack(obj_ts), np.stack(box_ts)
+    canvas, obj_ts, box_ts = _prepare_yolo_data(
+        frames_u8, gt_boxes_list, max_side, priors, pos_iou, neg_iou,
+        nh, nw, ch, cw)
 
     if mesh is not None:
         step, head, opt_state = make_sharded_head_step(
@@ -234,3 +330,62 @@ def finetune_yolo_head(frames_u8, gt_boxes_list, epochs=5, batch_size=8,
     out = dict(trunk)
     out["head"] = head
     return out, history
+
+
+def finetune_yolo_full(frames_u8, gt_boxes_list, epochs=5, batch_size=8,
+                       learning_rate=1e-4, trunk_scales=None, max_side=608,
+                       num_classes=1, mesh=None, seed=0, params=None,
+                       pos_iou=0.5, neg_iou=0.4, box_weight=2.0):
+    """Full fine-tune: every module trains, with layerwise learning rates
+    (``trunk_scales`` -> ``layerwise_tx``; default backbone 0.1x / neck 0.3x /
+    head 1.0x — discriminative fine-tuning so the pretrained trunk moves
+    gently while the head re-fits). Same data path and return contract as
+    ``finetune_yolo_head``.
+    """
+    frames_u8 = np.asarray(frames_u8)
+    n, h, w = frames_u8.shape[:3]
+    nh, nw = Y.resized_shape(h, w, max_side)
+    ch, cw = Y.canvas_shape(nh, nw)
+    priors, strides = Y.flat_priors_and_strides((ch, cw))
+
+    if params is None:
+        from ..models.wrappers import _resolve_params
+
+        params = _resolve_params(Y.YOLOv3(num_classes),
+                                 jnp.zeros((1, 64, 64, 3)), "yolov3_wider")
+    tx = layerwise_tx(learning_rate, trunk_scales)
+    opt_state = tx.init(params)
+
+    canvas, obj_ts, box_ts = _prepare_yolo_data(
+        frames_u8, gt_boxes_list, max_side, priors, pos_iou, neg_iou,
+        nh, nw, ch, cw)
+
+    if mesh is not None:
+        step, params, opt_state = make_sharded_full_step(
+            mesh, tx, params, opt_state, priors, strides, num_classes,
+            box_weight)
+        n_data = mesh.shape["data"]
+        batch_size = -(-batch_size // n_data) * n_data
+    else:
+        pr, st = jnp.asarray(priors), jnp.asarray(strides)
+        jitted = jax.jit(partial(train_step_full, tx=tx,
+                                 num_classes=num_classes,
+                                 box_weight=box_weight))
+
+        def step(pp, oo, x, o_t, b_t):
+            return jitted(pp, oo, x, o_t, b_t, pr, st)
+
+    rng = np.random.default_rng(seed)
+    history = []
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        losses = []
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            params, opt_state, loss, _ = step(params, opt_state,
+                                              jnp.asarray(canvas[idx]),
+                                              jnp.asarray(obj_ts[idx]),
+                                              jnp.asarray(box_ts[idx]))
+            losses.append(float(loss))
+        history.append(sum(losses) / max(len(losses), 1))
+    return jax.device_get(params), history
