@@ -30,8 +30,10 @@ import numpy as np
 SMOKE = os.environ.get("V2F_BENCH_SMOKE") == "1"
 FPS = 25
 SIZE = (480, 270) if SMOKE else (1920, 1080)
-N_FAST = int(os.environ.get("V2F_BENCH_FRAMES", "40" if SMOKE else "1500"))
-N_SLOW = int(os.environ.get("V2F_BENCH_FRAMES_SLOW", "20" if SMOKE else "200"))
+# sized so a full run fits comfortably inside driver timeouts on the
+# dev-tunnel VM (~4-7 fps pipeline loops; 1500/200 measured rc=124 at 25 min)
+N_FAST = int(os.environ.get("V2F_BENCH_FRAMES", "40" if SMOKE else "600"))
+N_SLOW = int(os.environ.get("V2F_BENCH_FRAMES_SLOW", "20" if SMOKE else "100"))
 ASSETS = osp.join(tempfile.gettempdir(), "v2f_bench_assets")
 
 
