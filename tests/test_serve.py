@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from videotofaces_tpu.serve import (FaceService, ServeClient, _bucket,
-                                    make_server, serve_forever)
+                                    make_http_server, make_server,
+                                    serve_forever)
 from videotofaces_tpu.specs import BoxCriteria
 
 
@@ -158,6 +159,74 @@ def test_socket_daemon_round_trip(tmp_path):
         client.close()
     t.join(timeout=10)
     assert not t.is_alive()
+
+
+def test_http_gateway_round_trip():
+    """JSON/HTTP gateway: base64 PNG frames in, JSON detections out.
+    Lossless PNG makes the round trip numerically identical to a direct
+    FaceService call."""
+    import base64
+    import json as _json
+    import urllib.request
+
+    import cv2
+
+    svc = _make_service()
+    srv = make_http_server(svc, ("127.0.0.1", 0))
+    host, port = srv.server_address[:2]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = "http://%s:%d" % (host, port)
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=10) as r:
+            return _json.loads(r.read())
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return _json.loads(r.read())
+
+    try:
+        assert get("/ping")["pong"] is True
+
+        frames = _frames(2, seed=21)
+        b64 = [base64.b64encode(cv2.imencode(".png", f)[1]).decode()
+               for f in frames]
+        got = post("/detect", {"frames": b64})["results"]
+        want = svc.detect(frames)
+        assert len(got) == 2
+        for g, (wb, ws) in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g["boxes"]).reshape(-1, 4),
+                                       wb, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(g["scores"]), ws, rtol=1e-6)
+
+        crops = [_frames(1, h=20, w=30, seed=31)[0]]
+        cb64 = [base64.b64encode(cv2.imencode(".png", c)[1]).decode()
+                for c in crops]
+        emb = post("/embed", {"crops": cb64})["embeddings"]
+        np.testing.assert_allclose(np.asarray(emb), FakeEncoder()(crops),
+                                   rtol=1e-5)
+
+        ex = post("/extract", {"frames": b64})["results"]
+        assert len(ex) == 2 and all("embeddings" in r for r in ex)
+
+        assert get("/stats")["stats"]["requests"] >= 3
+        # bad payload -> 400 with error, server stays up
+        try:
+            post("/detect", {"frames": ["!!notbase64ok"]})
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert get("/ping")["pong"] is True
+        post("/shutdown", {})
+    finally:
+        pass
+    t.join(timeout=10)
+    assert not t.is_alive()
+    srv.server_close()
 
 
 def test_tcp_daemon_round_trip():

@@ -20,6 +20,10 @@ cold-start. Two layers:
 
 Run:  python -m videotofaces_tpu.serve --socket /tmp/v2f.sock --style live
       python -m videotofaces_tpu.serve --tcp 0.0.0.0:7433 --style live
+      python -m videotofaces_tpu.serve --http 0.0.0.0:8080 --style live
+
+The HTTP gateway speaks JSON with base64 JPEG/PNG images (curl-friendly);
+the binary protocol is the efficient path for raw frames.
 """
 
 import json
@@ -28,6 +32,7 @@ import socket
 import socketserver
 import struct
 import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
@@ -334,6 +339,106 @@ def serve_forever(service, socket_path=None, tcp=None):
         os.unlink(address)
 
 
+class _HttpHandler(BaseHTTPRequestHandler):
+    """JSON/HTTP gateway over the same FaceService.
+
+    Images travel as base64-encoded JPEG/PNG (``cv2.imencode`` on the
+    client, decoded server-side) — curl-friendly, no custom framing:
+
+      GET  /ping /stats
+      POST /detect  {"frames": [b64, ...]}
+           -> {"results": [{"boxes": [[x1,y1,x2,y2]..], "scores": [..]}..]}
+      POST /embed   {"crops": [b64, ...]} -> {"embeddings": [[...]..]}
+      POST /extract {"frames": [b64, ...]}
+           -> per frame boxes/scores/embeddings
+      POST /shutdown
+    """
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):  # no per-request stderr spam
+        pass
+
+    def _json(self, code, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _decode_images(self, items):
+        import base64
+
+        import cv2
+
+        out = []
+        for s in items:
+            buf = np.frombuffer(base64.b64decode(s), np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError("undecodable image payload")
+            out.append(img)
+        return out
+
+    def do_GET(self):
+        service = self.server.service
+        if self.path == "/ping":
+            self._json(200, {"ok": True, "pong": True})
+        elif self.path == "/stats":
+            self._json(200, {"ok": True, "stats": dict(service.stats)})
+        else:
+            self._json(404, {"ok": False, "error": "unknown path %r" % self.path})
+
+    def do_POST(self):
+        service = self.server.service
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            if self.path == "/detect":
+                res = service.detect(self._decode_images(req["frames"]))
+                self._json(200, {"ok": True, "results": [
+                    {"boxes": np.asarray(b).tolist(),
+                     "scores": np.asarray(s).tolist()} for b, s in res]})
+            elif self.path == "/embed":
+                emb = service.embed(self._decode_images(req["crops"]))
+                self._json(200, {"ok": True,
+                                 "embeddings": np.asarray(emb).tolist()})
+            elif self.path == "/extract":
+                res = service.extract(self._decode_images(req["frames"]))
+                self._json(200, {"ok": True, "results": [
+                    {"boxes": np.asarray(r["boxes"]).tolist(),
+                     "scores": np.asarray(r["scores"]).tolist(),
+                     "embeddings": np.asarray(r["embeddings"]).tolist()}
+                    for r in res]})
+            elif self.path == "/warmup":
+                service.warmup(**{k: [tuple(v) if isinstance(v, list) else v
+                                      for v in vals]
+                                  for k, vals in req.items()})
+                self._json(200, {"ok": True})
+            elif self.path == "/shutdown":
+                self._json(200, {"ok": True})
+                threading.Thread(target=self.server.shutdown,
+                                 daemon=True).start()
+            else:
+                self._json(404, {"ok": False,
+                                 "error": "unknown path %r" % self.path})
+        except Exception as e:  # noqa: BLE001 — report, keep serving
+            self._json(400, {"ok": False, "error": repr(e)})
+
+
+class _HttpServer(ThreadingHTTPServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+
+def make_http_server(service, address):
+    """HTTP/JSON gateway server on ``(host, port)`` (port 0 = OS-picked)."""
+    srv = _HttpServer(address, _HttpHandler)
+    srv.service = service
+    return srv
+
+
 class ServeClient:
     """Client for the daemon; mirrors the FaceService methods.
 
@@ -409,6 +514,8 @@ def main(argv=None):
     p.add_argument("--socket", help="unix socket path to listen on")
     p.add_argument("--tcp", metavar="HOST:PORT",
                    help="TCP address to listen on instead of a unix socket")
+    p.add_argument("--http", metavar="HOST:PORT",
+                   help="serve the JSON/HTTP gateway instead of the binary protocol")
     p.add_argument("--style", default="live", choices=["live", "anime"])
     p.add_argument("--det-model", default="default")
     p.add_argument("--enc-model", default="default")
@@ -418,8 +525,8 @@ def main(argv=None):
     p.add_argument("--warmup-res", type=int, nargs=2, action="append",
                    help="HEIGHT WIDTH resolution to pre-compile (repeatable)")
     args = p.parse_args(argv)
-    if bool(args.socket) == bool(args.tcp):
-        p.error("exactly one of --socket / --tcp is required")
+    if sum(map(bool, (args.socket, args.tcp, args.http))) != 1:
+        p.error("exactly one of --socket / --tcp / --http is required")
     det_kw = {}
     if args.det_max_side:
         det_kw["max_side" if args.det_model in ("yolo", "default")
@@ -431,7 +538,12 @@ def main(argv=None):
                           det_kw=det_kw)
     if args.warmup_res:
         service.warmup(resolutions=[tuple(r) for r in args.warmup_res])
-    if args.tcp:
+    if args.http:
+        host, _, port = args.http.rpartition(":")
+        with make_http_server(service, (host or "0.0.0.0", int(port))) as srv:
+            print("v2f http gateway on %s" % (srv.server_address,))
+            srv.serve_forever()
+    elif args.tcp:
         host, _, port = args.tcp.rpartition(":")
         serve_forever(service, tcp=(host or "0.0.0.0", int(port)))
     else:
