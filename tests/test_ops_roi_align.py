@@ -54,8 +54,14 @@ def np_roi_align_single(fmap, box, stride, out=7):
 import pytest
 
 
-@pytest.mark.parametrize("method", ["dense", "sorted", "gather", "slice"])
-def test_roi_align_matches_oracle(rng, method):
+@pytest.mark.parametrize("method,chunk", [
+    ("dense", 4), ("sorted", 4), ("gather", 4), ("slice", 4),
+    # chunk > n-per-level: the final padded chunk mixes levels with padding —
+    # regression for the sorted variant's level-column padding (a zero pad
+    # made [lvl0.., pad] chunks look homogeneous-level-0)
+    ("sorted", 8),
+])
+def test_roi_align_matches_oracle(rng, method, chunk):
     strides = (4, 8, 16, 32)
     sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]  # 256x384 input
     fmaps = [rng.normal(size=(h, w, 8)).astype(np.float32) for (h, w) in sizes]
@@ -71,7 +77,7 @@ def test_roi_align_matches_oracle(rng, method):
 
     got = np.asarray(RA.roi_align_multilevel(
         [jnp.asarray(f) for f in fmaps], jnp.asarray(boxes), strides, window=56,
-        chunk=4, method=method))
+        chunk=chunk, method=method))
 
     lv = np.asarray(RA.assign_fpn_levels(jnp.asarray(boxes)))
     for i, box in enumerate(boxes):

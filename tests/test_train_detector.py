@@ -122,6 +122,43 @@ def test_full_finetune_layerwise(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_partial_trunk_scales_merge_and_head_bn_stats_frozen(rng):
+    frames, gts = _synthetic_faces(rng, 4)
+    model = Y.YOLOv3(1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)))["params"]
+
+    # partial override must merge over the defaults, not replace them
+    out, _ = TD.finetune_yolo_full(frames, gts, epochs=1, batch_size=4,
+                                   learning_rate=1e-3, max_side=64,
+                                   params=params, seed=0,
+                                   trunk_scales={"backbone": 0.0})
+    for a, b in zip(jax.tree.leaves(params["backbone"]),
+                    jax.tree.leaves(out["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(params["head"]),
+                               jax.tree.leaves(out["head"])))
+
+    # the head-only path must freeze bn running stats too (NaN hazard)
+    out2, _ = TD.finetune_yolo_head(frames, gts, epochs=1, batch_size=4,
+                                    learning_rate=3e-3, max_side=64,
+                                    params=params, seed=0)
+
+    def stat_leaves(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {jax.tree_util.keystr(p): v for p, v in flat
+                if "mean" in jax.tree_util.keystr(p)
+                or "var" in jax.tree_util.keystr(p)}
+
+    before = stat_leaves(params["head"])
+    after = stat_leaves(out2["head"])
+    assert before, "head should contain bn stats"
+    for k in before:
+        np.testing.assert_array_equal(np.asarray(before[k]),
+                                      np.asarray(after[k]))
+
+
 def test_sharded_full_step_matches_single_device(rng):
     devs = jax.devices()
     if len(devs) < 4:

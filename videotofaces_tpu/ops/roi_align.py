@@ -221,7 +221,12 @@ def _roi_align_dense_sorted(fmaps, boxes, strides, out_size=7, chunk=8):
     wy_c = pad(wy).reshape(n_chunks, chunk, out_size, hmax)
     wx_c = pad(wx).reshape(n_chunks, chunk, out_size, wmax)
     sel_c = pad(sels).reshape(n_chunks, chunk, num_levels)
-    lvl_c = pad(levels).reshape(n_chunks, chunk)
+    # pad the level column with the out-of-range sentinel num_levels, NOT 0:
+    # zero-padding would make a final chunk of [level-0 rois ... pad] look
+    # homogeneous-level-0 by the endpoints check and pool every real roi in
+    # it from fmaps[0]
+    lvl_c = jnp.pad(levels, (0, pad_to - n),
+                    constant_values=num_levels).reshape(n_chunks, chunk)
 
     def one_level(lv, wy_k, wx_k, mask=None):
         f = fmaps[lv]

@@ -19,11 +19,14 @@ cold-start. Two layers:
   wrapper state sane).
 
 Run:  python -m videotofaces_tpu.serve --socket /tmp/v2f.sock --style live
-      python -m videotofaces_tpu.serve --tcp 0.0.0.0:7433 --style live
-      python -m videotofaces_tpu.serve --http 0.0.0.0:8080 --style live
+      python -m videotofaces_tpu.serve --tcp 7433 --style live
+      python -m videotofaces_tpu.serve --http 8080 --style live
 
 The HTTP gateway speaks JSON with base64 JPEG/PNG images (curl-friendly);
-the binary protocol is the efficient path for raw frames.
+the binary protocol is the efficient path for raw frames. Neither network
+transport authenticates callers (shutdown/compute are open to anyone who
+can connect) — the CLI binds 127.0.0.1 unless an explicit host is given;
+front external exposure with a real gateway or firewall.
 """
 
 import json
@@ -315,6 +318,9 @@ def make_server(service, address):
     wire protocol is identical on both transports. With port 0 the OS picks
     a free port; read it back from ``server.server_address``.
     """
+    if address is None:
+        raise ValueError("no listen address: pass a unix socket path or a "
+                         "(host, port) tuple")
     if isinstance(address, tuple):
         srv = _TcpServer(address, _Handler)
     else:
@@ -540,12 +546,12 @@ def main(argv=None):
         service.warmup(resolutions=[tuple(r) for r in args.warmup_res])
     if args.http:
         host, _, port = args.http.rpartition(":")
-        with make_http_server(service, (host or "0.0.0.0", int(port))) as srv:
+        with make_http_server(service, (host or "127.0.0.1", int(port))) as srv:
             print("v2f http gateway on %s" % (srv.server_address,))
             srv.serve_forever()
     elif args.tcp:
         host, _, port = args.tcp.rpartition(":")
-        serve_forever(service, tcp=(host or "0.0.0.0", int(port)))
+        serve_forever(service, tcp=(host or "127.0.0.1", int(port)))
     else:
         serve_forever(service, args.socket)
 

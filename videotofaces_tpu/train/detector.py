@@ -180,34 +180,51 @@ def make_sharded_head_step(mesh, tx, head_params, opt_state, trunk_params,
     return fn, head_params, opt_state
 
 
+def _is_bn_stat(path):
+    """BatchNormInference running statistics are flax PARAMS (so checkpoints
+    load them), but they are statistics, not weights: training them lets
+    adamw drive var negative and the forward NaNs on sqrt(var + eps)."""
+    keys = [getattr(k, "key", None) for k in path]
+    return "bn" in keys and keys[-1] in ("mean", "var")
+
+
+def bn_stats_frozen(base_tx):
+    """Wrap an optimizer so bn/mean and bn/var leaves never update (bn
+    scale/bias stay trainable)."""
+
+    def labels(p):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "_bn_stats" if _is_bn_stat(path) else "train", p)
+
+    return optax.multi_transform(
+        {"train": base_tx, "_bn_stats": optax.set_to_zero()}, labels)
+
+
 def layerwise_tx(learning_rate, scales=None, clip_norm=1.0):
     """Discriminative layerwise optimizer for full fine-tuning.
 
     ``scales`` maps top-level module names ('backbone', 'neck', 'head') to
-    learning-rate multipliers; pretrained trunks want smaller steps than the
-    re-fit head (scale 0.0 freezes a module outright via set_to_zero).
-    Built on optax.multi_transform with the top-level key as the label,
-    behind global-norm gradient clipping — full fine-tuning is exposed to
-    the unclamped exp in the yolo box decode (early garbage boxes produce
+    learning-rate multipliers, merged over the defaults (0.1/0.3/1.0), so a
+    partial override like {'backbone': 0.0} works; pretrained trunks want
+    smaller steps than the re-fit head (scale 0.0 freezes a module outright
+    via set_to_zero). Built on optax.multi_transform with the top-level key
+    as the label (bn running stats frozen — see _is_bn_stat), behind
+    global-norm gradient clipping — full fine-tuning is exposed to the
+    unclamped exp in the yolo box decode (early garbage boxes produce
     exploding GIoU gradients that NaN the trunk without it).
     """
-    scales = dict(scales or {"backbone": 0.1, "neck": 0.3, "head": 1.0})
+    scales = {**{"backbone": 0.1, "neck": 0.3, "head": 1.0}, **(scales or {})}
     transforms = {
         k: (optax.set_to_zero() if s == 0.0 else optax.adamw(learning_rate * s))
         for k, s in scales.items()
     }
-    # BatchNormInference running statistics are flax PARAMS (so checkpoints
-    # load them), but they are statistics, not weights: training them lets
-    # adamw drive var negative and the forward NaNs on sqrt(var + eps).
-    # Freeze every bn/mean, bn/var leaf; bn scale/bias stay trainable.
     transforms["_bn_stats"] = optax.set_to_zero()
 
     def labels(p):
         def lab(path, _):
-            keys = [getattr(k, "key", None) for k in path]
-            if "bn" in keys and keys[-1] in ("mean", "var"):
+            if _is_bn_stat(path):
                 return "_bn_stats"
-            return keys[0]
+            return getattr(path[0], "key", None)
         return jax.tree_util.tree_map_with_path(lab, p)
 
     layered = optax.multi_transform(transforms, labels)
@@ -246,7 +263,7 @@ def make_sharded_full_step(mesh, tx, params, opt_state, priors, strides,
     return fn, params, opt_state
 
 
-def _prepare_yolo_data(frames_u8, gt_boxes_list, max_side, priors,
+def _prepare_yolo_data(frames_u8, gt_boxes_list, priors,
                        pos_iou, neg_iou, nh, nw, ch, cw):
     """Host prep shared by the fine-tune loops: cv2 keep-ratio resize onto
     the /32 canvas (the inference wrapper's host_resize path) + per-frame
@@ -293,11 +310,13 @@ def finetune_yolo_head(frames_u8, gt_boxes_list, epochs=5, batch_size=8,
                                  jnp.zeros((1, 64, 64, 3)), "yolov3_wider")
     trunk = {k: v for k, v in params.items() if k != "head"}
     head = params["head"]
-    tx = optax.adamw(learning_rate)
+    # head bridges are ConvUnits with bn running stats — freeze them here
+    # too (same NaN hazard layerwise_tx documents for the full path)
+    tx = bn_stats_frozen(optax.adamw(learning_rate))
     opt_state = tx.init(head)
 
     canvas, obj_ts, box_ts = _prepare_yolo_data(
-        frames_u8, gt_boxes_list, max_side, priors, pos_iou, neg_iou,
+        frames_u8, gt_boxes_list, priors, pos_iou, neg_iou,
         nh, nw, ch, cw)
 
     if mesh is not None:
@@ -357,7 +376,7 @@ def finetune_yolo_full(frames_u8, gt_boxes_list, epochs=5, batch_size=8,
     opt_state = tx.init(params)
 
     canvas, obj_ts, box_ts = _prepare_yolo_data(
-        frames_u8, gt_boxes_list, max_side, priors, pos_iou, neg_iou,
+        frames_u8, gt_boxes_list, priors, pos_iou, neg_iou,
         nh, nw, ch, cw)
 
     if mesh is not None:
