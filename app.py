@@ -8,7 +8,6 @@ Gradio is optional — the module prints instructions if it is missing.
 
 import os
 import os.path as osp
-import shutil
 import subprocess
 import sys
 import tempfile

@@ -5,7 +5,6 @@ face files to the single-device run (the postprocess is strictly per-image)."""
 import os
 import os.path as osp
 
-import pytest
 
 from videotofaces_tpu import video_to_faces
 from videotofaces_tpu.pipeline import detection as PD

@@ -1,7 +1,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from videotofaces_tpu.ops import pallas_resize as PR
 

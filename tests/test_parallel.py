@@ -1,7 +1,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from videotofaces_tpu.parallel import make_mesh, batch_sharding
 from videotofaces_tpu.train import ViTClassifier, create_train_state, make_sharded_train_step

@@ -3,7 +3,6 @@ import os.path as osp
 
 import cv2
 import numpy as np
-import pytest
 
 from videotofaces_tpu.pipeline import boxfilter as BF
 from videotofaces_tpu.pipeline import dupes as DU
