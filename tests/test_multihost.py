@@ -95,7 +95,10 @@ sys.path.insert(0, ".")
 from videotofaces_tpu.parallel import multihost as MH
 i = int(os.environ["V2F_PROCESS_INDEX"])
 if i == 0:
-    rows, names = np.zeros((0, 4), np.float32), []
+    # the REAL empty-shard shape: encode_faces' (0, 1) placeholder, whose
+    # width does NOT match the other host's embedding width (regression:
+    # the final reshape used the local placeholder width and raised)
+    rows, names = np.zeros((0, 1), np.float32), []
 else:
     rows, names = np.ones((2, 4), np.float32), ["a.jpg", "b.jpg"]
 g, out = MH.allgather_rows(rows, names)

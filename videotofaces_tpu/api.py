@@ -55,6 +55,11 @@ def _plan_grouping(mode, group_mode, clusters, ref_dir, out_dir, want_eval):
         paths = prep.get_paths_for_grouping(out_dir)
         if not paths:
             return None
+        # multi-host grouping-only: each host encodes a disjoint shard, like
+        # detection shards videos — without this, every host would gather H
+        # identical copies of every row and the global dedup would mark the
+        # duplicates (distance 0) for deletion, destroying the face set
+        paths = MH.shard_list(paths)
     return _GroupingPlan(ks, refs, paths)
 
 

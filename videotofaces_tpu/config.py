@@ -33,25 +33,30 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
 }
 
-# ContextVar (not a module-level dict) so precision_scope composes with the
-# async pipeline: each thread/task sees its own scope and two models with
-# different precision needs cannot race each other's setting.
+# Two layers so BOTH of these hold:
+# - set_precision() is PROCESS-WIDE: serving daemons trace graphs inside
+#   fresh handler threads (ThreadingHTTPServer/TCPServer), whose contexts
+#   never inherit a main-thread ContextVar write — a plain ContextVar
+#   default silently undid the setting there;
+# - precision_scope() stays CONTEXT-LOCAL (ContextVar token), so concurrent
+#   scopes in different threads/tasks cannot race each other's override.
 import contextvars
 
-_precision = contextvars.ContextVar("v2f_precision", default="highest")
+_process_default = ["highest"]
+_precision = contextvars.ContextVar("v2f_precision")
 
 
 def set_precision(name: str):
     assert name in _PRECISIONS, f"unknown precision {name!r}"
-    _precision.set(name)
+    _process_default[0] = name
 
 
 def get_precision():
-    return _PRECISIONS[_precision.get()]
+    return _PRECISIONS[get_precision_name()]
 
 
 def get_precision_name():
-    return _precision.get()
+    return _precision.get(None) or _process_default[0]
 
 
 @contextlib.contextmanager

@@ -16,6 +16,7 @@ of serializing with it (reference loops decode->forward->write sequentially).
 
 import queue
 import threading
+import time
 
 import cv2
 import numpy as np
@@ -131,12 +132,15 @@ class PrefetchingFrameSource:
         self.video_area = video_area
         self.queue = queue.Queue(maxsize=depth)
         self.error = None
+        self._stop = False
         self.thread = threading.Thread(target=self._work, daemon=True)
         self.thread.start()
 
     def _work(self):
         try:
             for bi in self.batches:
+                if self._stop:
+                    break
                 frames = self.reader.read_batch(bi, self.step)
                 if self.video_area:
                     x1, y1, x2, y2 = self.video_area
@@ -146,6 +150,22 @@ class PrefetchingFrameSource:
             self.error = e
         finally:
             self.queue.put(self._END)
+
+    def stop(self, timeout=10.0):
+        """Unblock and join the decode thread. MUST run before the reader is
+        closed when iteration ends early (consumer exception / Ctrl-C):
+        cv2.VideoCapture is not thread-safe against a concurrent release,
+        and a worker blocked on the bounded queue would otherwise leak.
+        Returns True when the thread exited (reader safe to close)."""
+        self._stop = True
+        deadline = time.monotonic() + timeout
+        while self.thread.is_alive() and time.monotonic() < deadline:
+            try:  # drain so a blocked put() returns and the flag is seen
+                self.queue.get_nowait()
+            except queue.Empty:
+                pass
+            self.thread.join(timeout=0.05)
+        return not self.thread.is_alive()
 
     def __iter__(self):
         while True:
@@ -202,6 +222,7 @@ class ParallelFrameSource:
         self.video_area = video_area
         self.queues = [queue.Queue(maxsize=depth_per_worker) for _ in self.segments]
         self.errors = [None] * len(self.segments)
+        self._stop = False          # must exist before any worker starts
         self.threads = []
         for j, seg_batches in enumerate(self.segments):
             t = threading.Thread(target=self._work, daemon=True,
@@ -211,6 +232,7 @@ class ParallelFrameSource:
 
     def _work(self, j, path, reader_kind, seg_batches):
         q = self.queues[j]
+        reader = None
         try:
             if not seg_batches:
                 return
@@ -222,16 +244,36 @@ class ParallelFrameSource:
                 # instead of replaying the whole prefix
                 reader.seek_to(seg_batches[0][0])
             for bi in seg_batches:
+                if self._stop:
+                    break
                 frames = reader.read_batch(bi, self.step)
                 if self.video_area:
                     x1, y1, x2, y2 = self.video_area
                     frames = frames[:, y1:y2, x1:x2, :]
                 q.put((bi, frames))
-            reader.close()
         except Exception as e:
             self.errors[j] = e
         finally:
+            if reader is not None:  # close on error/stop paths too
+                reader.close()
             q.put(self._END)
+
+    def stop(self, timeout=10.0):
+        """Unblock and join every worker (each owns its reader, closed in its
+        own finally); call when iteration ends early."""
+        self._stop = True
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            alive = [t for t in self.threads if t.is_alive()]
+            if not alive:
+                break
+            for q in self.queues:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    pass
+            alive[0].join(timeout=0.05)
+        return not any(t.is_alive() for t in self.threads)
 
     def __iter__(self):
         for j, q in enumerate(self.queues):

@@ -17,7 +17,16 @@ class AsyncImageWriter:
         self.pending = []
 
     def write(self, path, img):
-        self.pending.append(self.pool.submit(cv2.imwrite, path, img))
+        self.pending.append(self.pool.submit(self._write_checked, path, img))
+
+    @staticmethod
+    def _write_checked(path, img):
+        # cv2.imwrite reports failure (missing dir, bad encoding, disk full)
+        # by RETURNING False without raising — surface it, or the pipeline
+        # records a face name whose file never existed and the grouping
+        # stage crashes much later on imread -> None
+        if not cv2.imwrite(path, img):
+            raise IOError("cv2.imwrite failed for %s" % path)
 
     def flush(self):
         for f in self.pending:

@@ -197,6 +197,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     # ---- stage 1: proposal network over the pyramid -------------------------
     s_boxes, s_scores, s_preds, s_valid = [], [], [], []
     total_cand = jnp.zeros((b,), jnp.int32)
+    scale_max = jnp.zeros((b,), jnp.int32)        # per-scale candidate peak
     select_overflow = jnp.zeros((b,), jnp.int32)  # block-select truncation risk
     for sc, (sh, sw) in zip(scales, sizes):
         level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
@@ -208,7 +209,9 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         d = ph * pw
         flat_prob = prob.reshape(b, d)
         masked = jnp.where(flat_prob >= t1, flat_prob, 0.0)
-        total_cand = total_cand + jnp.sum(masked > 0.0, axis=1).astype(jnp.int32)
+        level_cand = jnp.sum(masked > 0.0, axis=1).astype(jnp.int32)
+        total_cand = total_cand + level_cand
+        scale_max = jnp.maximum(scale_max, level_cand)
         k1 = min(caps.pre1, d)
         fast = config.get_precision_name() == "default"
         if fast and d > 4 * k1:
@@ -244,12 +247,17 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         s_preds.append(preds)
         s_valid.append(v)
     counts["stage1"] = total_cand
+    counts["stage1_scale_max"] = scale_max  # pre1 caps PER SCALE, not in total
     counts["stage1_select_overflow"] = select_overflow
 
     boxes = jnp.concatenate(s_boxes, axis=1)
     scores = jnp.concatenate(s_scores, axis=1)
     preds = jnp.concatenate(s_preds, axis=1)
     valid = jnp.concatenate(s_valid, axis=1)
+    # survivors entering the cross-scale stage — caps.cross truncates HERE
+    # (the reference keeps all), so the count must be surfaced like the
+    # other capacity points
+    counts["cross_in"] = jnp.sum(valid, axis=1)
     if boxes.shape[1] > caps.cross:
         valid, boxes, scores, preds = _select_topk(
             jnp.where(valid, scores, -jnp.inf), valid, caps.cross, boxes, scores, preds)

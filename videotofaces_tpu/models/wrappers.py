@@ -20,15 +20,22 @@ from ..utils import weights as W
 from . import yolo as Y
 
 
-def _resolve_params(model, example, checkpoint):
+def _resolve_checkpoint(checkpoint, expected):
+    """Load <weights_dir>/<checkpoint>.npz against an ``expected`` param tree
+    (shape/name checked), falling back to the tree itself (seeded random
+    init) with a loud note when the file is absent."""
     path = osp.join(W.weights_dir(), checkpoint + ".npz")
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
     if osp.isfile(path):
         print("Using weights from: " + path)
-        return W.load_params(path, expected=variables["params"])
+        return W.load_params(path, expected=expected)
     print("NOTE: no converted weights at %s — using seeded random init "
           "(run tools/convert_weights.py with the torch checkpoint for real weights)" % path)
-    return variables["params"]
+    return expected
+
+
+def _resolve_params(model, example, checkpoint):
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+    return _resolve_checkpoint(checkpoint, variables["params"])
 
 
 def _jit_fwd(fn, mesh, n_batch_args=1):
@@ -63,10 +70,59 @@ def pad_batch(frames, batch_size):
     return arr, n
 
 
-class YoloDetector:
+class _BoxDetectorBase:
+    """Shared submit/collect for detectors whose graph returns
+    (boxes, scores, classes, valid[, select_overflow]) — YOLO and Faster
+    R-CNN. Subclasses provide ``_name``, ``_resized_hw(h, w)`` and
+    ``_compiled(b, h, w)``."""
+
+    def _resized_hw(self, h, w):
+        raise NotImplementedError
+
+    def submit(self, frames):
+        """Dispatch a batch asynchronously; pair with ``collect``. Lets the
+        pipeline overlap device compute with host post-processing."""
+        frames = list(frames)
+        h, w = frames[0].shape[:2]
+        if self.host_resize:
+            import cv2
+
+            nh, nw = self._resized_hw(h, w)
+            frames = [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                      for f in frames]
+        bs = _round_batch(self.batch_size or len(frames), self.mesh)
+        arr, n = pad_batch(frames, bs)
+        fn = self._compiled(arr.shape[0], h, w)
+        return fn(self.params, jnp.asarray(arr)), n
+
+    def collect(self, handle):
+        (boxes, scores, classes, valid), n = handle[0][:4], handle[1]
+        boxes, scores, classes, valid = jax.device_get((boxes, scores, classes, valid))
+        if len(handle[0]) > 4:  # block-select truncation-risk counter
+            of = int(np.asarray(jax.device_get(handle[0][4])).max())
+            if of > 0:
+                print("WARNING: %s candidate block-select may have truncated "
+                      "%d lane block(s) (spatially dense detections); raise "
+                      "per_block in postprocess for exact selection."
+                      % (self._name, of))
+        out_b, out_s, out_c = [], [], []
+        for i in range(n):
+            v = valid[i]
+            out_b.append(boxes[i][v])
+            out_s.append(scores[i][v])
+            out_c.append(classes[i][v])
+        return out_b, out_s, out_c
+
+    def __call__(self, frames):
+        return self.collect(self.submit(frames))
+
+
+class YoloDetector(_BoxDetectorBase):
     """Live-action face detector; reference API parity with RealYOLO
     (yolo.py:179-191): __call__(list of BGR frames) -> (boxes, scores, classes)
     as per-image numpy lists."""
+
+    _name = "YOLO"
 
     def __init__(self, device=None, checkpoint="yolov3_wider", max_side=608,
                  batch_size=None, params=None, mesh=None, host_resize=False,
@@ -101,35 +157,8 @@ class YoloDetector:
             self._cache[key] = fn
         return self._cache[key]
 
-    def submit(self, frames):
-        """Dispatch a batch asynchronously; pair with ``collect``. Lets the
-        pipeline overlap device compute with host post-processing."""
-        frames = list(frames)
-        h, w = frames[0].shape[:2]
-        if self.host_resize:
-            import cv2
-
-            nh, nw = Y.resized_shape(h, w, self.max_side)
-            frames = [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
-                      for f in frames]
-        bs = _round_batch(self.batch_size or len(frames), self.mesh)
-        arr, n = pad_batch(frames, bs)
-        fn = self._compiled(arr.shape[0], h, w)
-        return fn(self.params, jnp.asarray(arr)), n
-
-    def collect(self, handle):
-        (boxes, scores, classes, valid), n = handle[0][:4], handle[1]
-        boxes, scores, classes, valid = jax.device_get((boxes, scores, classes, valid))
-        out_b, out_s, out_c = [], [], []
-        for i in range(n):
-            v = valid[i]
-            out_b.append(boxes[i][v])
-            out_s.append(scores[i][v])
-            out_c.append(classes[i][v])
-        return out_b, out_s, out_c
-
-    def __call__(self, frames):
-        return self.collect(self.submit(frames))
+    def _resized_hw(self, h, w):
+        return Y.resized_shape(h, w, self.max_side)
 
 
 class _Encoder:
@@ -241,9 +270,11 @@ class VitEncoder(_Encoder):
         self.norm_scale, self.norm_mean = 1 / 127.5, 127.5  # vit.py:141 affine
 
 
-class FrcnnDetector:
+class FrcnnDetector(_BoxDetectorBase):
     """Anime face detector; reference API parity with AnimeFRCNN
     (rcnn.py:154-177): __call__(list of BGR frames) -> (boxes, scores, classes)."""
+
+    _name = "FasterRCNN"
 
     def __init__(self, device=None, checkpoint="frcnn_anime", batch_size=None,
                  params=None, mesh=None, resize_spec=(800, 1333), proposal_cap=1000,
@@ -261,20 +292,12 @@ class FrcnnDetector:
         self.out_top = out_top
         self.batch_size = batch_size
         if params is None:
-            import os.path as osp
-
-            path = osp.join(W.weights_dir(), checkpoint + ".npz")
-            body = R.FasterRCNN(1)
-            head = R.RoIHead(1)
-            body_vars = jax.jit(body.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-            head_vars = jax.jit(head.init)(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))
-            expected = {"body": body_vars["params"], "head": head_vars["params"]}
-            if osp.isfile(path):
-                print("Using weights from: " + path)
-                params = W.load_params(path, expected=expected)
-            else:
-                print("NOTE: no converted weights at %s — using seeded random init" % path)
-                params = expected
+            body_vars = jax.jit(R.FasterRCNN(1).init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            head_vars = jax.jit(R.RoIHead(1).init)(
+                jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))
+            params = _resolve_checkpoint(checkpoint, {
+                "body": body_vars["params"], "head": head_vars["params"]})
         if bf16:
             params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
         self.params = params
@@ -295,35 +318,8 @@ class FrcnnDetector:
             self._cache[key] = fn
         return self._cache[key]
 
-    def submit(self, frames):
-        """Dispatch a batch asynchronously; pair with ``collect``. Lets the
-        pipeline overlap device compute with host post-processing."""
-        frames = list(frames)
-        h, w = frames[0].shape[:2]
-        if self.host_resize:
-            import cv2
-
-            nh, nw = self.R.resized_shape(h, w, *self.resize_spec)
-            frames = [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
-                      for f in frames]
-        bs = _round_batch(self.batch_size or len(frames), self.mesh)
-        arr, n = pad_batch(frames, bs)
-        fn = self._compiled(arr.shape[0], h, w)
-        return fn(self.params, jnp.asarray(arr)), n
-
-    def collect(self, handle):
-        (boxes, scores, classes, valid), n = handle[0][:4], handle[1]
-        boxes, scores, classes, valid = jax.device_get((boxes, scores, classes, valid))
-        out_b, out_s, out_c = [], [], []
-        for i in range(n):
-            v = valid[i]
-            out_b.append(boxes[i][v])
-            out_s.append(scores[i][v])
-            out_c.append(classes[i][v])
-        return out_b, out_s, out_c
-
-    def __call__(self, frames):
-        return self.collect(self.submit(frames))
+    def _resized_hw(self, h, w):
+        return self.R.resized_shape(h, w, *self.resize_spec)
 
 
 class MtcnnDetector:
@@ -344,20 +340,11 @@ class MtcnnDetector:
         self.caps = caps or M.Caps()
         self.batch_size = batch_size
         if params is None:
-            import os.path as osp
-
-            path = osp.join(W.weights_dir(), checkpoint + ".npz")
-            expected = {
+            params = _resolve_checkpoint(checkpoint, {
                 "pnet": jax.jit(M.PNet().init)(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
                 "rnet": jax.jit(M.RNet().init)(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
                 "onet": jax.jit(M.ONet().init)(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
-            }
-            if osp.isfile(path):
-                print("Using weights from: " + path)
-                params = W.load_params(path, expected=expected)
-            else:
-                print("NOTE: no converted weights at %s — using seeded random init" % path)
-                params = expected
+            })
         if bf16:
             params = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), params)
         self.params = params
@@ -384,15 +371,23 @@ class MtcnnDetector:
         # every stage's surviving-candidate count is surfaced by the graph;
         # warn whenever survivors exceed the NEXT fixed-capacity buffer (that
         # is where truncation happens — a busy frame at min_face_size=5 can
-        # overflow stage2/3 without ever tripping stage1)
-        for stage, cap_name in [("stage1", "pre1"), ("stage2", "stage3"),
+        # overflow stage2/3 without ever tripping stage1). pre1 caps each
+        # SCALE independently, so stage 1 is judged by its per-scale peak,
+        # not the across-scales total (which trips spuriously on pyramids
+        # with many mildly-busy levels)
+        for stage, cap_name in [("stage1_scale_max", "pre1"),
+                                ("cross_in", "cross"),
+                                ("stage2", "stage3"),
                                 ("stage3", "out")]:
             cap = getattr(self.caps, cap_name)
             seen = int(np.asarray(counts[stage]).max())
             if seen > cap:
                 print("WARNING: MTCNN %s survivors exceeded buffer capacity "
                       "(%d > %d); results may drop low-scoring faces. "
-                      "Increase Caps.%s." % (stage, seen, cap, cap_name))
+                      "Increase Caps.%s."
+                      % (stage.replace("_scale_max", " (per-scale)")
+                         .replace("cross_in", "cross-scale input"),
+                         seen, cap, cap_name))
         of = int(np.asarray(counts.get("stage1_select_overflow", 0)).max())
         if of > 0:
             print("WARNING: MTCNN stage-1 block-select may have truncated %d "

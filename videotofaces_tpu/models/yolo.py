@@ -122,10 +122,11 @@ class YOLOv3(nn.Module):
 def flat_priors_and_strides(canvas_hw):
     """Concatenated priors [D, 4] and per-candidate strides [D, 1] in the same
     flat order as the head maps (level 32 -> 16 -> 8, row-major, anchor-minor)."""
-    priors = get_priors(canvas_hw, BASES, loc="center")
+    per_level = get_priors(canvas_hw, BASES, loc="center", concat=False)
+    priors = np.concatenate(per_level)
     strides = np.concatenate([
         np.full((lvl.shape[0], 1), s, np.float32)
-        for s, lvl in zip((32, 16, 8), get_priors(canvas_hw, BASES, loc="center", concat=False))
+        for s, lvl in zip((32, 16, 8), per_level)
     ])
     return priors, strides
 

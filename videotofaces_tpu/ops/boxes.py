@@ -8,6 +8,7 @@ validity masks produced by the callers.
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -27,16 +28,13 @@ def decode_boxes(pred, priors, mults=(1.0, 1.0), clamp=False, mode="rcnn", strid
         xys = priors[..., 2:] * mult_xy * pred[..., :2] + priors[..., :2]
     else:
         assert strides is not None
-        xys = strides * (_sigmoid(pred[..., :2]) - 0.5) + priors[..., :2]
+        xys = strides * (jax.nn.sigmoid(pred[..., :2]) - 0.5) + priors[..., :2]
     twh = mult_wh * pred[..., 2:]
     if clamp:
         twh = jnp.minimum(twh, math.log(1000.0 / 16))
     whs = priors[..., 2:] * jnp.exp(twh)
     return jnp.concatenate([xys - whs / 2, xys + whs / 2], axis=-1)
 
-
-def _sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
 
 
 def convert_to_cwh(boxes):

@@ -121,8 +121,14 @@ def kmeans_fit(x, n_clusters, random_state=0, max_iter=300, tol=1e-4, mesh=None)
     x = np.ascontiguousarray(x, dtype=np.float32)
     n = x.shape[0]
     if n_clusters >= n:
+        # degenerate sweep point (fewer samples than clusters): every point
+        # its own cluster, higher cluster ids empty. sklearn raises here;
+        # returning gracefully keeps a clusters-range sweep alive, but the
+        # centers contract ([K, D]) is honored — empty clusters get zeros.
         labels = np.arange(n) % n_clusters
-        return labels, x[:n_clusters].copy(), 0.0
+        centers = np.zeros((n_clusters, x.shape[1]), x.dtype)
+        centers[:n] = x
+        return labels, centers, 0.0
     centers, _ = kmeans_plusplus(x, n_clusters, random_state)
     centers = jnp.asarray(centers)
     step = _lloyd_for(mesh)

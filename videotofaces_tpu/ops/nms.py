@@ -12,7 +12,6 @@ different rule — a candidate is suppressed if *any* earlier candidate (kept or
 not) overlaps it — which is a pure matrix expression with no sequential loop.
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -110,6 +109,3 @@ def batched_nms_topk(boxes, scores, valid, iou_thr, topk, group_ids=None, plus_o
     idx, out_valid = topk_by_score(scores, keep, topk)
     return boxes[idx], scores[idx], idx, out_valid
 
-
-# Convenience: vmapped single-group NMS over a leading batch axis.
-nms_keep_mask_batch = jax.vmap(nms_keep_mask, in_axes=(0, 0, 0, None))

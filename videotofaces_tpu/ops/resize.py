@@ -11,7 +11,7 @@ Three families, matching the three resampling behaviors of the reference:
    with host-precomputed averaging matrices: ``out = Wh @ x @ Ww^T``. This is
    how the MTCNN image pyramid runs on the MXU.
 
-3. ``integral_image_u8`` + ``adaptive_pool_boxes`` — exact adaptive average
+3. ``integral_image`` + ``adaptive_pool_boxes`` — exact adaptive average
    pooling of *dynamic* uint8 crops (MTCNN stage 2/3 candidate windows,
    mtcnn.py:153-163) via an int32 integral image. Inputs are uint8-derived, so
    window sums are exact integers (max 2^31 safe for <=8.4MP frames) and the

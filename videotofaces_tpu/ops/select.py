@@ -73,10 +73,13 @@ def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf):
     out_vals = jnp.where(jnp.isinf(neg_sorted), pad_value, -neg_sorted)
     out_sel = jnp.stack([o[:, :k] for o in sorted_ops[1:]], axis=-1)
 
-    # overflow detection: a block whose LAST pick still beats the global k-th
-    # value may be hiding more global-top-k members
+    # overflow detection: a block is truncated iff the (per_block+1)-th best
+    # candidate it holds — the first one NOT selected — would still make the
+    # global top k. ``remaining`` holds exactly those leftovers, so one more
+    # max is a precise test (judging by the LAST pick instead false-fires on
+    # blocks holding exactly per_block candidates).
     kth = out_vals[:, k - 1]                                   # [B]
-    last_pick = vals[:, :, per_block - 1]                      # [B, R]
-    overflow = jnp.sum((last_pick > kth[:, None])
-                       & jnp.isfinite(last_pick), axis=1).astype(jnp.int32)
+    next_best = jnp.max(remaining, axis=-1)                    # [B, R]
+    overflow = jnp.sum((next_best > kth[:, None]) & (next_best > 0.0)
+                       & jnp.isfinite(next_best), axis=1).astype(jnp.int32)
     return out_vals, out_sel, overflow

@@ -105,6 +105,21 @@ def _exchange_via_dir(gdir, index, count, payload, timeout=300.0):
     seq = _gather_seq[0]
     _gather_seq[0] += 1
     os.makedirs(gdir, exist_ok=True)
+    if seq == 0:
+        # a reused gather dir would let the seq-0 poll "find" a PREVIOUS
+        # run's drops and silently merge stale rows into this run's global
+        # decisions. Peers legitimately drop their g000 files before we
+        # look, so only seq>=1 files are PROVABLY stale — refuse loudly on
+        # those (and each host deletes its own finished files below, so a
+        # clean shutdown leaves nothing behind).
+        stale = [f for f in os.listdir(gdir)
+                 if f.startswith("g") and f.endswith(".npz")
+                 and not f.startswith("g000_")]
+        if stale:
+            raise RuntimeError(
+                "V2F_GATHER_DIR %r contains gather files from a previous "
+                "run (e.g. %s); point each run at a fresh/emptied directory"
+                % (gdir, stale[0]))
     tmp = osp.join(gdir, ".tmp_g%03d_h%02d_%d.npz" % (seq, index, os.getpid()))
     final = osp.join(gdir, "g%03d_h%02d.npz" % (seq, index))
     np.savez(tmp, **payload)
@@ -120,6 +135,14 @@ def _exchange_via_dir(gdir, index, count, payload, timeout=300.0):
     for p in want:
         with np.load(p) as z:
             out.append({k: z[k] for k in z.files})
+    if seq > 0:
+        # every host has passed gather seq-1 (they wrote seq files), so this
+        # host's previous drop can go — keeps reused dirs from accumulating
+        # provably-stale files
+        try:
+            os.remove(osp.join(gdir, "g%03d_h%02d.npz" % (seq - 1, index)))
+        except OSError:
+            pass
     return out
 
 
@@ -160,7 +183,14 @@ def allgather_rows(rows, names, name_width=64):
         merged, out_names = merge_gathered(counts, rows_all, names_all)
 
     if merged.size:
-        merged = merged.view(rows.dtype).reshape((len(out_names),) + rows.shape[1:])
+        if rows.shape[0] == 0:
+            # an empty local shard's trailing shape is a placeholder (e.g.
+            # encode_faces returns (0, 1) without knowing the embedding
+            # width) — size the rows from the gathered bytes instead
+            merged = merged.view(rows.dtype).reshape(len(out_names), -1)
+        else:
+            merged = merged.view(rows.dtype).reshape(
+                (len(out_names),) + rows.shape[1:])
     else:
         merged = np.zeros((0,) + rows.shape[1:], rows.dtype)
     return merged, out_names

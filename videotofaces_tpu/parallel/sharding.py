@@ -32,10 +32,21 @@ def vit_param_spec(path_parts):
 def param_sharding_tree(params, mesh, rule=vit_param_spec):
     """Map a param pytree to NamedShardings via a path -> PartitionSpec rule."""
 
-    def f(path, _):
+    def f(path, leaf):
         parts = [str(getattr(p, "key", p)) for p in path]
         spec = rule(parts)
-        # drop 'model' specs that don't divide the dimension evenly
+        # drop 'model' specs that don't divide the dimension evenly —
+        # replication is always legal, a non-divisible shard raises
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            axes = axis if isinstance(axis, tuple) else (axis,)
+            size = 1
+            for a in axes:
+                size *= mesh.shape[a]
+            if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
+                spec = P()
+                break
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(f, params)

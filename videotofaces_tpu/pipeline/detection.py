@@ -55,7 +55,10 @@ def get_detector_model(style, det_model, device=None, mesh="auto", **model_kw):
         from ..models.wrappers import YoloDetector
 
         return YoloDetector(device, mesh=mesh, **model_kw)
-    return 0
+    # the reference returns 0 here (detection.py:29) but its only caller
+    # validates first; direct library callers deserve a source-located error
+    raise ValueError("unknown det_model %r (valid: default, yolo, rcnn, mtcnn)"
+                     % (det_model,))
 
 
 def detect_faces(files, model, sampling, criteria, layout, hash_thr,
@@ -137,7 +140,12 @@ def process_video(path, model, sampling, criteria, layout, hash_thr, timer=None,
         return process_stream(source, len(indices), model, criteria, layout,
                               hash_thr, timer, crops)
     finally:
-        reader.close()
+        # join the decode thread(s) BEFORE releasing the reader: on an early
+        # exit (device error, Ctrl-C) a worker may be mid-cap.read(), and
+        # cv2.VideoCapture is not safe against a concurrent release; stop()
+        # also unblocks a worker stuck on the bounded prefetch queue
+        if source.stop():
+            reader.close()
 
 
 def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=None,

@@ -29,7 +29,6 @@ import numpy as np
 
 from ..ops import distances as D
 from ..utils import native as NV
-from ..utils.image import resize_keep_ratio
 
 _WINDOW = 5  # how many kept predecessors each new face is checked against
 
@@ -69,8 +68,9 @@ def remove_dupes_nearest(faces, hashes, hash_thr, layout):
             hashes.append((h, fn))
             kept.append((img, fn))
         elif layout.save_dupes:
-            dup = img if not layout.resize_to else resize_keep_ratio(img, layout.resize_to)
-            cv2.imwrite(layout.intermediate("dupes1", fn), dup)
+            # faces arrive already resized by the caller (detection's
+            # process_frames_batch applies resize_to before dedup)
+            cv2.imwrite(layout.intermediate("dupes1", fn), img)
 
     if layout.save_dupes and log:
         log_fn = layout.intermediate("log_dupes1.csv")

@@ -50,7 +50,9 @@ def get_encoder_model(style, enc_model, device=None, mesh="auto", **model_kw):
 
         casia = False if enc_model == "default" else enc_model.split("_")[1] == "casia"
         return FaceNetEncoder(device, casia, mesh=mesh, **model_kw)
-    return 0
+    # reference returns 0 (grouping.py:26); raising locates the bad argument
+    raise ValueError("unknown enc_model %r (valid: default, facenet_vgg, "
+                     "facenet_casia, vit_b, vit_l)" % (enc_model,))
 
 
 def _batched(seq, size):
@@ -58,7 +60,7 @@ def _batched(seq, size):
         yield seq[i:i + size]
 
 
-def _read_batches(paths, batch_size, area, images=None):
+def _read_batches(paths, batch_size, images=None):
     """Yields image batches for encoding. Disk reads happen on a small thread
     pool one batch ahead of the consumer (cv2.imread releases the GIL), so
     JPEG decode overlaps device compute. ``images``: optional in-memory crops
@@ -102,7 +104,7 @@ def encode_faces(paths, model, batch_size, area, images=None):
     timer = StageTimer()
     chunks = []
     with trace(), tqdm(total=len(paths)) as pbar:
-        reader = iter(_read_batches(paths, batch_size, area, images))
+        reader = iter(_read_batches(paths, batch_size, images))
         while True:
             with timer.stage("encode:read"):  # wait on the prefetched read
                 batch = next(reader, None)

@@ -77,7 +77,8 @@ def validate_args(mode, input_path, out_dir, style, group_mode, video_reader,
     for name, val in [("style", style), ("group_mode", group_mode),
                       ("video_reader", video_reader), ("det_model", det_model),
                       ("enc_model", enc_model)]:
-        ok = ok and check_limited_option(val, name)
+        # no short-circuit: report EVERY invalid option in one pass
+        ok = check_limited_option(val, name) and ok
     if not ok:
         return False
 
@@ -108,7 +109,10 @@ def get_clusters(spec):
             return [int(spec)]
     elif "," in spec:
         parts = spec.split(",")
-        if all(p.isdigit() for p in parts):
+        # positivity matches the other branches (the reference accepts "0,5"
+        # here and then crashes inside sklearn; its own message promises a
+        # natural number)
+        if all(p.isdigit() and int(p) > 0 for p in parts):
             return sorted({int(p) for p in parts})
     elif spec.count("-") == 1:
         lo, _, hi = spec.partition("-")
@@ -192,7 +196,10 @@ def get_video_list(input_path, ext):
     if not files:
         print("ERROR: no files are found in the specified input directory")
     elif ext:
-        allowed = set(ext.split(";"))
+        # normalize the user's spec (the files are lowercased for comparison,
+        # so "MP4" or ".mp4" would otherwise match nothing — the reference
+        # shares this trap, detection.py-era prep.py:141-143)
+        allowed = {e.lower().lstrip(".") for e in ext.split(";")}
         files = [p for p in files if p.lower().rsplit(".", 1)[-1] in allowed]
         if not files:
             print("ERROR: no files with specified extensions (%s) are found in the "

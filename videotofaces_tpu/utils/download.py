@@ -16,11 +16,18 @@ def url_download(url, dst, gdrive=False, chunk_size=1024 * 1024):
 
     session = requests.Session()
     resp = session.get(url, stream=True)
+    first = b""
     if gdrive:
         token = next((v for k, v in resp.cookies.items()
                       if k.startswith("download_warning")), None)
-        if token is None and b"confirm=" in resp.content[:4096]:
-            token = "t"
+        if token is None:
+            # peek ONE chunk for the confirm interstitial — touching
+            # resp.content on a streamed response would buffer the whole
+            # (multi-GB) body into memory first
+            first = next(resp.iter_content(chunk_size=4096), b"") or b""
+            if b"confirm=" in first:
+                token = "t"
+                first = b""
         if token:
             resp = session.get(url, params={"confirm": token}, stream=True)
     resp.raise_for_status()
@@ -28,6 +35,9 @@ def url_download(url, dst, gdrive=False, chunk_size=1024 * 1024):
     total = int(resp.headers.get("content-length", 0)) or None
     with open(dst, "wb") as f, tqdm(total=total, unit="B", unit_scale=True,
                                     unit_divisor=1024) as bar:
+        if first:
+            f.write(first)
+            bar.update(len(first))
         for chunk in resp.iter_content(chunk_size=chunk_size):
             if chunk:
                 f.write(chunk)

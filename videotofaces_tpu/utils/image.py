@@ -8,7 +8,7 @@ def fit_scale(hw, to_area):
     """Scale factor that fits an (h, w) image into ``to_area`` — (w, h), or a
     single int for a square — preserving aspect ratio."""
     h, w = hw
-    tw, th = to_area if isinstance(to_area, tuple) else (to_area, to_area)
+    tw, th = to_area if isinstance(to_area, (tuple, list)) else (to_area, to_area)
     return min(tw / w, th / h)
 
 
