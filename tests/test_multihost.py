@@ -88,6 +88,32 @@ print("MERGED", g.dtype, list(map(int, g)), out)
     assert str(want) in lines[0].replace("'", "")
 
 
+def test_grouping_mode_shards_paths_per_host(tmp_path, monkeypatch):
+    """mode='grouping' must give each host a DISJOINT face shard — without
+    it every host gathers identical copies of every row and the global
+    dedup (distance 0) deletes the whole face set."""
+    import cv2
+    import numpy as np
+
+    import videotofaces_tpu.api as api
+
+    faces = tmp_path / "faces"
+    faces.mkdir()
+    for i in range(6):
+        cv2.imwrite(str(faces / ("f%02d.jpg" % i)),
+                    np.full((16, 16, 3), 40 * i, np.uint8))
+
+    got = {}
+    for idx in range(2):
+        monkeypatch.setenv("V2F_PROCESS_INDEX", str(idx))
+        monkeypatch.setenv("V2F_PROCESS_COUNT", "2")
+        plan = api._plan_grouping("grouping", "clustering", 2, None,
+                                  str(tmp_path), False)
+        got[idx] = [osp.basename(p) for p in plan.paths]
+    assert sorted(got[0] + got[1]) == ["f%02d.jpg" % i for i in range(6)]
+    assert not set(got[0]) & set(got[1])
+
+
 def test_allgather_with_one_empty_host(tmp_path):
     code = r"""
 import numpy as np, os, sys
