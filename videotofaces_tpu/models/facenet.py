@@ -1,6 +1,6 @@
 """FaceNet (InceptionResnetV1) encoder for live-action face embeddings.
 
-Architecture parity target: encoders/facenet.py:15-155 — stem of 7 conv units,
+Architecture parity target: encoders/facenet.py:15-155 — stem of 6 conv units,
 5x Block35(0.17) -> Mixed_6a -> 10x Block17(0.1) -> Mixed_7a -> 5x Block8(0.2)
 -> Block8(no relu) -> global average pool -> Linear(1792->512, no bias) ->
 BatchNorm1d(eps=1e-3) -> L2 normalize. All conv units are conv+BN(1e-3)+ReLU

@@ -44,7 +44,9 @@ class ViTClassifier(nn.Module):
 
 
 def create_train_state(model, rng, input_shape, learning_rate=1e-4, weight_decay=1e-4):
-    params = model.init(rng, jnp.zeros(input_shape))["params"]
+    # jit the init: un-jitted flax init executes the full forward eagerly
+    # op-by-op (wrappers.py does the same for inference params)
+    params = jax.jit(model.init)(rng, jnp.zeros(input_shape))["params"]
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     opt_state = tx.init(params)
     return params, opt_state, tx
@@ -78,11 +80,25 @@ def make_sharded_train_step(mesh, model, tx, params, opt_state):
     the 'data' axis size."""
 
     def spec_of(tree):
-        def f(path, _):
+        def f(path, leaf):
             # dict keys give the param path; optimizer-state wrappers (mu/nu
             # attributes, tuple indices) mirror the param tree around them
             parts = [str(p.key) for p in path if isinstance(p, jax.tree_util.DictKey)]
-            return NamedSharding(mesh, classifier_param_spec(parts))
+            spec = classifier_param_spec(parts)
+            # same fallback as parallel/sharding.param_sharding_tree:
+            # replication is always legal, a non-divisible shard raises
+            for dim, axis in enumerate(spec):
+                if axis is None:
+                    continue
+                axes = axis if isinstance(axis, tuple) else (axis,)
+                size = 1
+                for a in axes:
+                    size *= mesh.shape[a]
+                if not hasattr(leaf, "ndim") or dim >= leaf.ndim \
+                        or leaf.shape[dim] % size != 0:
+                    spec = P()
+                    break
+            return NamedSharding(mesh, spec)
 
         return jax.tree_util.tree_map_with_path(f, tree)
 

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from .trainer import create_train_state  # noqa: F401 — one definition, shared
+
 
 def pairwise_sq_dists(emb):
     """[B, D] -> [B, B] squared L2 distances (clamped at 0 for fp safety)."""
@@ -165,12 +167,6 @@ class MemoryBank:
         self.valid[idx] = True
         self._ptr = int((self._ptr + n) % cap)
 
-
-def create_train_state(model, rng, input_shape, learning_rate=1e-4,
-                       weight_decay=1e-4):
-    params = model.init(rng, jnp.zeros(input_shape))["params"]
-    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
-    return params, tx.init(params), tx
 
 
 def make_sharded_triplet_step(mesh, model, tx, params, opt_state, margin=0.2):

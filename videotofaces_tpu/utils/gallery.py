@@ -69,7 +69,11 @@ def dataframe_with_images(csv_path, img_dir=None, height=80, filter_expr=None,
                                for sub in ("rejects", "dupes1", "dupes2", "dupes3", "faces")]
         for c in candidates:
             if osp.isfile(c) and c.lower().endswith(IMG_EXTENSIONS):
-                return _img_tag(c, height)
+                # a matched-but-unreadable file (corrupt jpg) yields an empty
+                # tag — fall through to the filename so the row stays legible
+                tag = _img_tag(c, height)
+                if tag:
+                    return tag
         return str(fn)
 
     cols = [c for c in df.columns if c.lower() in ("file_name", "nearest_in_prev",
