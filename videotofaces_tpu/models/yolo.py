@@ -132,7 +132,7 @@ def flat_priors_and_strides(canvas_hw):
 
 
 def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=0.05,
-                iou_thr=0.45, pre_topk=1000, out_topk=100, per_block=32):
+                iou_thr=0.45, pre_topk=1000, out_topk=100, per_block=20):
     """Fixed-capacity postprocessing for one batch of head maps.
 
     Candidate semantics match yolo.py:151-175: a candidate is a (location,
@@ -143,7 +143,12 @@ def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=
     picks (ops/select.py) — full-axis index sorts and per-row gathers cost
     ~12 ms/step on TPU for D=22k; this path costs ~1 ms. Exact unless a
     128-lane block holds > ``per_block`` of the global top-k (returned
-    ``overflow`` counts such blocks).
+    ``overflow`` counts exactly such truncations; the wrapper warns).
+    per_block=20 is the 2k-capacity floor block_topk_select enforces for
+    k=1000 at D=13k anyway; trace-profiling showed each extra argmax pass
+    costs real time (32 -> 20 saved 0.32 ms/batch-8 interleaved median),
+    and candidates dense enough to overflow 20-per-128-lanes are flagged
+    precisely rather than silently dropped.
 
     Returns (boxes [B, out_topk, 4] canvas coords, scores, classes, valid,
     overflow [B]).
