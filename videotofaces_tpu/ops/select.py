@@ -18,8 +18,9 @@ the long axis:
 
 Exactness: identical to exact top-k unless some 128-lane block contains more
 than ``per_block`` members of the true global top-k; the returned
-``overflow`` count (blocks whose per_block-th pick still beats the global
-k-th value) lets callers detect that and raise ``per_block``.
+``overflow`` counts exactly the blocks whose first UNSELECTED candidate
+would still make the global top-k, so callers can detect truncation and
+raise ``per_block``.
 """
 
 import jax
