@@ -58,7 +58,7 @@ def test_allgather_identity_single_host(monkeypatch):
 def _gather_worker(code, index, count, gdir, env_extra=None):
     env = dict(os.environ, V2F_PROCESS_INDEX=str(index),
                V2F_PROCESS_COUNT=str(count), V2F_GATHER_DIR=gdir,
-               JAX_PLATFORMS="cpu", **(env_extra or {}))
+               V2F_RUN_ID="testrun", JAX_PLATFORMS="cpu", **(env_extra or {}))
     return subprocess.Popen([sys.executable, "-c", code], env=env,
                             cwd=osp.dirname(HERE),
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
@@ -88,6 +88,30 @@ print("MERGED", g.dtype, list(map(int, g)), out)
     assert str(want) in lines[0].replace("'", "")
 
 
+def test_gather_dir_requires_run_id(tmp_path, monkeypatch):
+    monkeypatch.setenv("V2F_GATHER_DIR", str(tmp_path))
+    monkeypatch.delenv("V2F_RUN_ID", raising=False)
+    monkeypatch.setenv("V2F_PROCESS_INDEX", "0")
+    monkeypatch.setenv("V2F_PROCESS_COUNT", "2")
+    with pytest.raises(RuntimeError, match="V2F_RUN_ID"):
+        MH.allgather_rows(np.ones((1, 2), np.float32), ["a.jpg"])
+
+
+def test_gather_dir_refuses_reused_run_id(tmp_path, monkeypatch):
+    """seq>=1 leftovers under the SAME run id mean the id was reused; the
+    seq-0 guard must refuse rather than risk merging a prior run's rows.
+    Leftover g000 files from a DIFFERENT run id are invisible (scoped away)."""
+    monkeypatch.setenv("V2F_RUN_ID", "dup")
+    rdir = tmp_path / "run_dup"
+    rdir.mkdir()
+    np.savez(str(rdir / "g001_h00.npz"), rows=np.zeros((1, 1), np.uint8))
+    MH._gather_seq[0] = 0
+    with pytest.raises(RuntimeError, match="previous run"):
+        MH._exchange_via_dir(str(tmp_path), 0, 2,
+                             {"rows": np.zeros((1, 1), np.uint8)}, timeout=1)
+    MH._gather_seq[0] = 0
+
+
 def test_grouping_mode_shards_paths_per_host(tmp_path, monkeypatch):
     """mode='grouping' must give each host a DISJOINT face shard — without
     it every host gathers identical copies of every row and the global
@@ -103,6 +127,11 @@ def test_grouping_mode_shards_paths_per_host(tmp_path, monkeypatch):
         cv2.imwrite(str(faces / ("f%02d.jpg" % i)),
                     np.full((16, 16, 3), 40 * i, np.uint8))
 
+    # stand-in for the listing-consistency all-gather (shared FS: every host
+    # sees the same names)
+    monkeypatch.setattr(api.MH, "allgather_rows",
+                        lambda rows, names, **kw: (np.tile(rows, (2, 1)),
+                                                   list(names) * 2))
     got = {}
     for idx in range(2):
         monkeypatch.setenv("V2F_PROCESS_INDEX", str(idx))
@@ -112,6 +141,30 @@ def test_grouping_mode_shards_paths_per_host(tmp_path, monkeypatch):
         got[idx] = [osp.basename(p) for p in plan.paths]
     assert sorted(got[0] + got[1]) == ["f%02d.jpg" % i for i in range(6)]
     assert not set(got[0]) & set(got[1])
+
+
+def test_grouping_mode_refuses_divergent_listings(tmp_path, monkeypatch):
+    """Host-local out_dirs (differing listings) must fail loudly instead of
+    silently never encoding (count-1)/count of each host's faces."""
+    import cv2
+
+    import videotofaces_tpu.api as api
+
+    faces = tmp_path / "faces"
+    faces.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(faces / ("f%02d.jpg" % i)),
+                    np.full((16, 16, 3), 50 * i, np.uint8))
+    # the gathered union contains names the local listing lacks
+    monkeypatch.setattr(
+        api.MH, "allgather_rows",
+        lambda rows, names, **kw: (np.tile(rows, (2, 1)),
+                                   list(names) + ["other_host.jpg"] * len(names)))
+    monkeypatch.setenv("V2F_PROCESS_INDEX", "0")
+    monkeypatch.setenv("V2F_PROCESS_COUNT", "2")
+    with pytest.raises(RuntimeError, match="shared filesystem"):
+        api._plan_grouping("grouping", "clustering", 2, None, str(tmp_path),
+                           False)
 
 
 def test_allgather_with_one_empty_host(tmp_path):
@@ -170,6 +223,7 @@ def test_two_host_full_job_matches_single_host(tmp_path):
         env.pop("V2F_GATHER_DIR", None)
         if gdir:
             env["V2F_GATHER_DIR"] = gdir
+            env["V2F_RUN_ID"] = "e2e"
         return subprocess.Popen(
             [sys.executable, driver, str(vids), out_dir, "full"], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)

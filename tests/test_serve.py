@@ -52,6 +52,25 @@ def _frames(n, h=96, w=128, seed=0):
             for _ in range(n)]
 
 
+def test_ragged_out_mixed_empty_nonempty():
+    """Frames with faces mixed with faces-free frames (the common case) must
+    flatten without error and preserve per-frame counts."""
+    from videotofaces_tpu.serve import _ragged_out
+
+    pairs = [
+        {"boxes": np.ones((2, 4), np.float32), "scores": np.ones((2,), np.float32)},
+        {"boxes": np.zeros((0, 4), np.float32), "scores": np.zeros((0,), np.float32)},
+        {"boxes": np.ones((1, 4), np.float32), "scores": np.ones((1,), np.float32)},
+    ]
+    counts, (boxes, scores) = _ragged_out(pairs, ("boxes", "scores"))
+    assert counts == [2, 0, 1]
+    assert boxes.shape == (3, 4) and scores.shape == (3, 1)
+
+    counts, (boxes,) = _ragged_out(
+        [{"boxes": np.zeros((0, 4), np.float32)}], ("boxes",))
+    assert counts == [0] and boxes.shape[0] == 0
+
+
 def test_bucket_rounding():
     assert [_bucket(n, 32) for n in (1, 2, 3, 4, 5, 9, 33)] == \
         [1, 2, 4, 4, 8, 16, 32]

@@ -58,7 +58,22 @@ def _plan_grouping(mode, group_mode, clusters, ref_dir, out_dir, want_eval):
         # multi-host grouping-only: each host encodes a disjoint shard, like
         # detection shards videos — without this, every host would gather H
         # identical copies of every row and the global dedup would mark the
-        # duplicates (distance 0) for deletion, destroying the face set
+        # duplicates (distance 0) for deletion, destroying the face set.
+        # Round-robin sharding is disjoint-and-complete ONLY if every host
+        # lists the identical directory (shared filesystem); with host-local
+        # out_dirs most faces would silently never be encoded. Verify by
+        # all-gathering the name lists before sharding.
+        index, count = MH.process_info()
+        if count > 1:
+            names = [osp.basename(p) for p in paths]
+            _, gathered = MH.allgather_rows(
+                np.zeros((len(names), 1), np.uint8), names)
+            if sorted(gathered) != sorted(names * count):
+                raise RuntimeError(
+                    "grouping-only multi-host requires every host to see the "
+                    "same out_dir listing (shared filesystem): host %d lists "
+                    "%d faces but the %d hosts' listings differ" %
+                    (index, len(names), count))
         paths = MH.shard_list(paths)
     return _GroupingPlan(ks, refs, paths)
 

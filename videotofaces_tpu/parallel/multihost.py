@@ -16,7 +16,8 @@ Topology can be forced with ``V2F_PROCESS_INDEX`` / ``V2F_PROCESS_COUNT`` for
 launchers that are not JAX-aware. The all-gather then needs a transport: with
 a real JAX distributed runtime it rides DCN via
 ``multihost_utils.process_allgather``; with ``V2F_GATHER_DIR`` set it runs a
-shared-filesystem exchange (atomic per-host .npz drops + polling) — the
+shared-filesystem exchange (atomic per-host .npz drops + polling, scoped to a
+per-run subdirectory keyed by the required ``V2F_RUN_ID``) — the
 single-machine validation path, exercised by tests with real concurrent
 processes. Rows travel as raw bytes (uint8 views), so any dtype — packed
 uint64 hashes included — survives the transport exactly.
@@ -98,27 +99,45 @@ def merge_gathered(counts, rows_per_host, names_per_host):
 # -- transports ----------------------------------------------------------------
 
 
+def _run_scoped_dir(gdir):
+    """Gather files live in a per-run subdirectory keyed by ``V2F_RUN_ID``
+    (required, must be identical on every host and FRESH per run — e.g. the
+    launcher's job id). Scoping by run id means leftover files from a prior
+    run can never satisfy this run's polls: a detection-only job performs
+    exactly one gather and its g000_h*.npz files stay behind by design (no
+    host may delete its final drop before every peer has read it), so
+    without scoping a reused directory would silently merge the previous
+    run's rows into this run's dedup decisions."""
+    run = os.environ.get("V2F_RUN_ID")
+    if not run:
+        raise RuntimeError(
+            "V2F_GATHER_DIR requires V2F_RUN_ID: a run id shared by every "
+            "host and unique per run (e.g. the launcher's job id)")
+    safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in run)
+    return osp.join(gdir, "run_" + safe)
+
+
 def _exchange_via_dir(gdir, index, count, payload, timeout=300.0):
     """Shared-filesystem all-gather: atomically drop this host's arrays as
-    g<seq>_h<index>.npz, poll for everyone else's, load in host order.
-    ``payload`` is a dict of arrays. Returns list of dicts, one per host."""
+    <run dir>/g<seq>_h<index>.npz, poll for everyone else's, load in host
+    order. ``payload`` is a dict of arrays. Returns list of dicts, one per
+    host."""
+    gdir = _run_scoped_dir(gdir)
     seq = _gather_seq[0]
     _gather_seq[0] += 1
     os.makedirs(gdir, exist_ok=True)
     if seq == 0:
-        # a reused gather dir would let the seq-0 poll "find" a PREVIOUS
-        # run's drops and silently merge stale rows into this run's global
-        # decisions. Peers legitimately drop their g000 files before we
-        # look, so only seq>=1 files are PROVABLY stale — refuse loudly on
-        # those (and each host deletes its own finished files below, so a
-        # clean shutdown leaves nothing behind).
+        # within a run-scoped dir, peers' g000 drops are legitimately
+        # visible before we look; seq>=1 files can only mean the run id was
+        # reused (contract violation) — refuse loudly rather than merge
+        # stale rows.
         stale = [f for f in os.listdir(gdir)
                  if f.startswith("g") and f.endswith(".npz")
                  and not f.startswith("g000_")]
         if stale:
             raise RuntimeError(
-                "V2F_GATHER_DIR %r contains gather files from a previous "
-                "run (e.g. %s); point each run at a fresh/emptied directory"
+                "gather dir %r contains files from a previous run with the "
+                "same V2F_RUN_ID (e.g. %s); run ids must be fresh per run"
                 % (gdir, stale[0]))
     tmp = osp.join(gdir, ".tmp_g%03d_h%02d_%d.npz" % (seq, index, os.getpid()))
     final = osp.join(gdir, "g%03d_h%02d.npz" % (seq, index))

@@ -238,9 +238,13 @@ def _ragged_out(pairs_or_dicts, keys):
     for item in pairs_or_dicts:
         counts.append(int(len(item[keys[0]])))
     for k in keys:
-        arrays.append(np.concatenate([np.asarray(item[k]).reshape(len(item[k]), -1)
-                                      for item in pairs_or_dicts], axis=0)
-                      if sum(counts) else np.zeros((0, 1), np.float32))
+        # Skip zero-count frames: reshape(0, -1) raises on empty arrays, and
+        # they contribute no rows anyway (mixed empty/non-empty batches are
+        # the common case).
+        parts = [np.asarray(item[k]).reshape(len(item[k]), -1)
+                 for item in pairs_or_dicts if len(item[k])]
+        arrays.append(np.concatenate(parts, axis=0) if parts
+                      else np.zeros((0, 1), np.float32))
     return counts, arrays
 
 

@@ -112,6 +112,12 @@ def detection_loss_full(params, images, obj_t, box_t, priors, strides,
     of components). Differentiable w.r.t. every parameter — the full
     fine-tune path; the head-only path wraps this with the trunk held
     constant."""
+    if num_classes != 1:
+        # the loss has no per-gt class targets: only class-0 logits are
+        # trained toward 1.0 on positives, so a multi-class head would be
+        # silently untrained on classes 1..nc-1 — refuse at trace time
+        raise ValueError("detector fine-tuning supports num_classes=1 only "
+                         "(face detection); got %d" % num_classes)
     maps = Y.YOLOv3(num_classes).apply({"params": params}, images)
     b = maps[0].shape[0]
     flat = jnp.concatenate([m.reshape(b, -1, num_classes + 5) for m in maps],
