@@ -70,25 +70,33 @@ void hamming_all_pairs_nearest(const uint64_t* hashes, int64_t n,
     }
 }
 
-// Sliding prev-window dedup: processes hashes in order, comparing each to the
-// last `window` KEPT hashes; marks duplicates (dist <= thr). Returns kept count.
-// out_keep[i] = 1 if kept; out_dist/out_ref give the nearest window entry.
+// Sliding prev-window dedup (dupes.py:18-48 semantics): processes hashes in
+// order, comparing each to the last `window` KEPT hashes; marks duplicates
+// (dist <= thr). `seed` holds hashes already kept BEFORE this batch (the
+// running per-video state), so the check continues seamlessly across batch
+// boundaries. Reference indices returned in out_ref live in the concatenated
+// namespace [seed..., hashes...]; out_ref = -1 only for the first face ever
+// (nothing to compare against — kept unconditionally, like the reference).
+// Returns the number of kept NEW hashes.
 int64_t hamming_prev_window(const uint64_t* hashes, int64_t n, int window,
-                            int thr, uint8_t* out_keep, int32_t* out_dist,
+                            int thr, const uint64_t* seed, int64_t n_seed,
+                            uint8_t* out_keep, int32_t* out_dist,
                             int32_t* out_ref) {
     int64_t kept_idx[4096];
     int64_t kept = 0;
+    for (int64_t s = 0; s < n_seed; s++) kept_idx[kept++ % 4096] = s;
     for (int64_t i = 0; i < n; i++) {
         if (kept == 0) {
             out_keep[i] = 1; out_dist[i] = 10000; out_ref[i] = -1;
-            kept_idx[kept++ % 4096] = i;
+            kept_idx[kept++ % 4096] = n_seed + i;
             continue;
         }
         int64_t lo = kept > window ? kept - window : 0;
         int best = 1 << 30; int64_t bj = -1;
         for (int64_t k = lo; k < kept; k++) {
             int64_t j = kept_idx[k % 4096];
-            int d = __builtin_popcountll(hashes[i] ^ hashes[j]);
+            uint64_t hj = j < n_seed ? seed[j] : hashes[j - n_seed];
+            int d = __builtin_popcountll(hashes[i] ^ hj);
             if (d < best) { best = d; bj = j; }
         }
         out_dist[i] = best;
@@ -97,7 +105,7 @@ int64_t hamming_prev_window(const uint64_t* hashes, int64_t n, int window,
             out_keep[i] = 0;
         } else {
             out_keep[i] = 1;
-            kept_idx[kept++ % 4096] = i;
+            kept_idx[kept++ % 4096] = n_seed + i;
         }
     }
     int64_t total = 0;

@@ -61,6 +61,53 @@ def test_dedup_hash_matches_numpy(rng):
     assert mins[7] == 0 and mins[20] == 3
 
 
+def test_nearest_earlier_device_fallback_matches_native(rng, monkeypatch):
+    """Without a C++ toolchain the all-pairs hash dedup runs on device
+    (ops/distances.dedup_hash); decisions must match the native path."""
+    from videotofaces_tpu.utils import native as NV
+
+    bits = rng.integers(0, 2, size=(300, 64)).astype(np.uint64)
+    bits[250] = bits[17]
+    packed = NV.pack_bits(bits)
+    want_d, want_i = DU._nearest_earlier(packed, "hash")
+    monkeypatch.setattr(DU.NV, "available", lambda: False)
+    got_d, got_i = DU._nearest_earlier(packed, "hash")
+    np.testing.assert_array_equal(got_d[1:], want_d[1:])
+    # argmin ties may differ between backends; distances must agree
+    for i in range(1, 300):
+        assert int((bits[got_i[i]] != bits[i]).sum()) == int(got_d[i])
+
+
+def test_remove_dupes_nearest_engines_agree(tmp_path, rng):
+    """Parity (per-crop cv2 ahash + python window) and throughput (native
+    fused hash + C++ window kernel) engines must make identical keep/drop
+    decisions on clear-cut inputs: exact repeats (distance 0) vs distinct
+    random crops (distance >> thr for 8x8 average hashes of noise)."""
+    from videotofaces_tpu import config
+
+    base = [rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+            for _ in range(6)]
+    faces, k = [], 0
+    for img in base:
+        faces.append((img, "f%03d.jpg" % k)); k += 1
+        faces.append((img.copy(), "f%03d.jpg" % k)); k += 1  # exact dup
+    layout = OutputLayout(str(tmp_path))
+
+    kept_p, _ = DU.remove_dupes_nearest(list(faces), [], 6, layout)
+    with config.precision_scope("default"):
+        kept_t, hashes_t = DU.remove_dupes_nearest(list(faces), [], 6, layout)
+    assert [fn for _, fn in kept_p] == [fn for _, fn in kept_t]
+    assert len(kept_p) == 6  # every second face is an exact window dup
+
+    # batch-split equivalence: the throughput path threads state across
+    # batches exactly like one big batch
+    with config.precision_scope("default"):
+        k1, h = DU.remove_dupes_nearest(list(faces[:5]), [], 6, layout)
+        k2, h = DU.remove_dupes_nearest(list(faces[5:]), h, 6, layout)
+    assert [fn for _, fn in k1 + k2] == [fn for _, fn in kept_t]
+    assert [fn for _, fn in h] == [fn for _, fn in hashes_t]
+
+
 def test_dedup_cosine_matches_sklearn(rng):
     import sklearn.metrics
 

@@ -4,8 +4,7 @@
 block (backbones/basic.py:5-45): conv -> batchnorm(inference) -> optional
 residual add -> activation. BatchNorm here is a pure affine op on running
 stats — this framework is inference-first, and XLA fuses the affine into the
-convolution epilogue. ``BNFold`` in tools/fold_bn.py can also fold it into the
-conv weights offline.
+convolution epilogue.
 """
 
 from typing import Any, Optional
@@ -99,18 +98,6 @@ class ConvUnit(nn.Module):
             x = x + add
         prelu = PReLU(self.cout, name="prelu") if self.activ == "prelu" else None
         return apply_activation(x, self.activ, prelu)
-
-
-class Dense(nn.Module):
-    """Linear layer with the global precision policy."""
-
-    features: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Dense(self.features, use_bias=self.use_bias,
-                        precision=config.get_precision(), name="linear")(x)
 
 
 def max_pool2d(x, k, s, padding=0, ceil_mode=False):

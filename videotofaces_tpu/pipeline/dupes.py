@@ -27,6 +27,7 @@ import os.path as osp
 import cv2
 import numpy as np
 
+from .. import config
 from ..ops import distances as D
 from ..utils import native as NV
 
@@ -43,6 +44,12 @@ def ahash(img_bgr):
     return int(NV.pack_bits(bits[None])[0])
 
 
+def ahash_native(img_bgr):
+    """Throughput-mode hash: the C++ fused gray/8x8-area-average kernel
+    (numpy fallback inside), one pixel pass, no cv2 temporaries."""
+    return int(NV.ahash64_batch(np.ascontiguousarray(img_bgr)[None])[0])
+
+
 def hamming(a, b):
     """Popcount of two packed uint64 hashes."""
     return int(a ^ b).bit_count()
@@ -51,7 +58,20 @@ def hamming(a, b):
 def remove_dupes_nearest(faces, hashes, hash_thr, layout):
     """Window dedup for one batch. ``faces``: list[(img, filename)];
     ``hashes``: running list[(packed_hash, filename)] of every face kept so
-    far this video. Returns (kept faces, updated hashes)."""
+    far this video. Returns (kept faces, updated hashes).
+
+    Two hash engines, both producing packed uint64:
+
+    - parity (precision "highest"/"high", the default): per-crop cv2
+      gray+resize, bit-exact with the reference's ahash (dupes.py:11-15);
+    - throughput (precision "default"): the native C++ fused
+      gray/8x8-average hash + window kernel (native/v2f_host.cpp) — one
+      pass over each crop's pixels, no cv2 temporaries on the
+      post-detection critical path. Numerically compatible (BT.601 gray,
+      area average) but not bit-identical to cv2's INTER_LINEAR 8x8.
+    """
+    if config.get_precision_name() == "default" and faces:
+        return _remove_dupes_nearest_native(faces, hashes, hash_thr, layout)
     kept, log = [], []
     for img, fn in faces:
         h = ahash(img)
@@ -72,6 +92,32 @@ def remove_dupes_nearest(faces, hashes, hash_thr, layout):
             # process_frames_batch applies resize_to before dedup)
             cv2.imwrite(layout.intermediate("dupes1", fn), img)
 
+    _write_dupes1_log(log, layout)
+    return kept, hashes
+
+
+def _remove_dupes_nearest_native(faces, hashes, hash_thr, layout):
+    """Throughput-mode window dedup: batch hashing + the C++ window kernel
+    (same keep/drop semantics as the parity loop above)."""
+    new_h = np.asarray([ahash_native(img) for img, _ in faces], np.uint64)
+    seed = [h for h, _ in hashes[-_WINDOW:]]
+    keep, dist, ref = NV.hamming_prev_window(new_h, hash_thr, _WINDOW, seed)
+    names = [fn for _, fn in hashes[-_WINDOW:]] + [fn for _, fn in faces]
+
+    kept, log = [], []
+    for i, (img, fn) in enumerate(faces):
+        if ref[i] >= 0:
+            log.append((fn, names[ref[i]], int(dist[i]), int(not keep[i])))
+        if keep[i]:
+            hashes.append((int(new_h[i]), fn))
+            kept.append((img, fn))
+        elif layout.save_dupes:
+            cv2.imwrite(layout.intermediate("dupes1", fn), img)
+    _write_dupes1_log(log, layout)
+    return kept, hashes
+
+
+def _write_dupes1_log(log, layout):
     if layout.save_dupes and log:
         log_fn = layout.intermediate("log_dupes1.csv")
         fresh = not osp.exists(log_fn)
@@ -80,13 +126,18 @@ def remove_dupes_nearest(faces, hashes, hash_thr, layout):
                 f.write("file_name,nearest_in_prev_5,hash_diff,marked_as_duplicate\n")
             for row in log:
                 f.write("%s,%s,%u,%u\n" % row)
-    return kept, hashes
 
 
 def _nearest_earlier(x, measure_type):
     """(min distance, argmin index) over all EARLIER rows, per row."""
     if measure_type == "hash":
         packed = np.ascontiguousarray(x, dtype=np.uint64)
+        if not NV.available() and len(packed) > 256:
+            # no C++ toolchain: the device XOR-popcount Gram beats the
+            # O(N^2) python fallback once N is non-trivial
+            bits = (packed[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            mins, inds = D.dedup_hash(bits.astype(np.uint8))
+            return np.asarray(mins), np.asarray(inds)
         return NV.hamming_nearest_earlier(packed)  # native C++ or numpy
     from .mesh_auto import default_mesh
 

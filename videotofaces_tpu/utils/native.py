@@ -40,6 +40,7 @@ def _build_and_load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
         lib.hamming_prev_window.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.hamming_prev_window.restype = ctypes.c_int64
         _LIB = lib
@@ -79,6 +80,48 @@ def ahash64_batch(imgs_bgr_u8):
             cells[:, i, j] = gray[:, y0:y1, x0:x1].mean(axis=(1, 2))
     bits = cells.reshape(n, 64) > cells.reshape(n, 64).mean(axis=1, keepdims=True)
     return pack_bits(bits)
+
+
+def hamming_prev_window(packed, thr, window=5, seed=()):
+    """Sliding prev-``window`` dedup over KEPT hashes (dupes.py:18-48).
+
+    ``packed``: [n] uint64 new hashes in arrival order. ``seed``: hashes
+    already kept before this batch (only the last ``window`` matter).
+    Returns (keep bool [n], dist int32 [n], ref int32 [n]); ``ref`` indexes
+    the concatenated [seed..., packed...] namespace, -1 for the first face
+    ever (kept unconditionally, no comparison made)."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint64)
+    seed = np.ascontiguousarray(seed, dtype=np.uint64)
+    n = len(packed)
+    lib = _build_and_load()
+    if lib is not None:
+        keep = np.empty(n, dtype=np.uint8)
+        dist = np.empty(n, dtype=np.int32)
+        ref = np.empty(n, dtype=np.int32)
+        lib.hamming_prev_window(packed.ctypes.data, n, int(window), int(thr),
+                                seed.ctypes.data, len(seed),
+                                keep.ctypes.data, dist.ctypes.data,
+                                ref.ctypes.data)
+        return keep.astype(bool), dist, ref
+    # numpy fallback: identical loop
+    keep = np.zeros(n, bool)
+    dist = np.full(n, 10000, np.int32)
+    ref = np.full(n, -1, np.int32)
+    all_h = np.concatenate([seed, packed])
+    kept = list(range(len(seed)))
+    for i in range(n):
+        if not kept:
+            keep[i] = True
+            kept.append(len(seed) + i)
+            continue
+        win = kept[-window:]
+        d = [bin(int(all_h[len(seed) + i] ^ all_h[j])).count("1") for j in win]
+        b = int(np.argmin(d))
+        dist[i], ref[i] = d[b], win[b]
+        if d[b] > thr:
+            keep[i] = True
+            kept.append(len(seed) + i)
+    return keep, dist, ref
 
 
 def hamming_nearest_earlier(packed):
