@@ -141,3 +141,37 @@ def test_stage1_block_select_matches_exact_topk(rng):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(exact[1]), np.asarray(fast[1]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_cascade_pallas_crop_engine_matches_gather(rng):
+    """Full cascade with the pallas crop engine (interpret mode on CPU) must
+    reproduce the gather engine's detections: same valid set, same boxes and
+    scores to f32-accumulation tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():  # make some candidates fire
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, 64, 96, 3)).astype(np.uint8))
+
+    ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                         crop_engine="gather")
+    got = M.full_forward(params, frames, minsize=14, caps=caps,
+                         crop_engine="pallas-interpret")
+    assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+    v = np.asarray(ref[3])
+    np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
+                               rtol=1e-4, atol=1e-4)
+    assert int(np.asarray(got[4]["stage2_crop_dropped"]).sum()) == 0
+    assert int(np.asarray(got[4]["stage3_crop_dropped"]).sum()) == 0

@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from ..ops.nms import iom_chain_suppress, nms_keep_mask, topk_by_score
 from ..ops.select import block_topk_select
+from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_chw
 from ..ops.resize import adaptive_pool_boxes_batched, adaptive_pool_full, integral_image
 from .. import config
 from .layers import ConvUnit, PReLU, max_pool2d
@@ -116,6 +117,11 @@ class Caps:
     stage2: int = 1024   # RNet candidates
     stage3: int = 256    # ONet candidates
     out: int = 128       # final detections
+    # pallas crop engine size buckets (per image): candidates bigger than the
+    # 128px DMA bucket but within 512px, and bigger than 512px (gather
+    # fallback). Overflow drops candidates and is surfaced in counts.
+    crops_mid: int = 128
+    crops_big: int = 32
 
 
 def scale_pyramid(h, w, minsize, factor=0.709):
@@ -182,14 +188,35 @@ def _select_topk(scores, keep, k, *arrays):
 
 
 def full_forward(params, frames_u8, minsize=20, caps=Caps(),
-                 thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None):
+                 thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None,
+                 crop_engine=None):
     """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
     [B, out, 5, 2], valid, counts) — counts are true candidate totals per
-    stage for host-side overflow detection."""
+    stage for host-side overflow detection.
+
+    ``crop_engine`` selects the stage-2/3 crop resample:
+
+    - ``"gather"``: integral-image corner gathers for every capacity slot
+      (exact int32 sums, no drops) — ~28 + 27 ms/batch-2 1080p of random
+      gathers regardless of real candidate counts;
+    - ``"pallas"``: per-crop DMA + on-chip pooling matmuls
+      (ops/pallas_crops.py), size-bucketed (<=128px DMA bucket for every
+      slot, <=512px DMA bucket capped at caps.crops_mid/image, gather
+      fallback capped at caps.crops_big/image) — invalid slots are skipped,
+      so cost scales with real candidates; bucket overflow DROPS candidates
+      and is surfaced in counts["stage{2,3}_crop_dropped"];
+    - ``"pallas-interpret"``: same path in pallas interpret mode (CPU tests);
+    - None: "pallas" on TPU, "gather" elsewhere.
+    """
     b, h, w = frames_u8.shape[:3]
     t1, t2, t3 = thresholds
     scales, sizes = scale_pyramid(h, w, minsize, factor)
     ii = integral_image(frames_u8[..., ::-1])  # RGB, int32, exact
+    if crop_engine is None:
+        crop_engine = "pallas" if jax.default_backend() == "tpu" else "gather"
+    if crop_engine != "gather":
+        frames_chw = pad_frames_chw(jnp.transpose(
+            _normalize(frames_u8[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2)))
 
     pnet = PNet()
     counts = {}
@@ -268,18 +295,68 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     boxes = square_bbox(refine_bbox(boxes, preds, plus_one=False))
 
     # ---- stage 2: refinement network ---------------------------------------
+    def bucketed_crops(win, imgidx, okv, size):
+        """Size-bucketed crop resample (pallas engine). ``okv``: [bk] slot
+        validity (window ok AND candidate alive) — dead slots skip their DMA
+        and matmuls entirely. Returns (crops [bk, size, size, 3] normalized,
+        processed [bk], dropped [bk])."""
+        interp = crop_engine == "pallas-interpret"
+        bk = win.shape[0]
+        wh = win[:, 3] - win[:, 1]
+        ww = win[:, 2] - win[:, 0]
+        s1 = bucket_limits((h, w), (128, 128))
+        s2 = bucket_limits((h, w), (512, 512))
+        fit1 = (wh <= s1[0]) & (ww <= s1[1])
+        fit2 = (wh <= s2[0]) & (ww <= s2[1])
+        ok1 = okv & fit1
+        scal = jnp.stack([imgidx, win[:, 1], win[:, 0], wh, ww,
+                          ok1.astype(jnp.int32)], axis=-1)
+        crops = adaptive_pool_crops(frames_chw, scal, size, s1, interpret=interp)
+        processed = ok1
+        if s2 != s1:
+            want = okv & fit2 & ~fit1
+            idx2, sel2 = topk_by_score(want.astype(jnp.float32), want,
+                                       min(caps.crops_mid * b, bk))
+            scal2 = jnp.stack([imgidx[idx2], win[idx2, 1], win[idx2, 0],
+                               wh[idx2], ww[idx2], sel2.astype(jnp.int32)], axis=-1)
+            crops2 = adaptive_pool_crops(frames_chw, scal2, size, s2,
+                                         interpret=interp)
+            tgt = jnp.where(sel2, idx2, bk)
+            crops = crops.at[tgt].set(crops2, mode="drop")
+            processed = processed | jnp.zeros(bk, bool).at[tgt].set(True, mode="drop")
+        if h > s2[0] or w > s2[1]:
+            want = okv & ~fit2
+            idxb, selb = topk_by_score(want.astype(jnp.float32), want,
+                                       min(caps.crops_big * b, bk))
+            cb = _normalize(adaptive_pool_boxes_batched(
+                ii, win[idxb], imgidx[idxb], (size, size)))
+            tgt = jnp.where(selb, idxb, bk)
+            crops = crops.at[tgt].set(cb, mode="drop")
+            processed = processed | jnp.zeros(bk, bool).at[tgt].set(True, mode="drop")
+        return crops, processed, okv & ~processed
+
     def run_subnet(module, mparams, boxes, valid, size):
         k = boxes.shape[1]
         win, ok = _crop_windows(boxes.reshape(b * k, 4), (h, w))
         imgidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
-        crops = _normalize(adaptive_pool_boxes_batched(ii, win, imgidx, (size, size)))
+        if crop_engine == "gather":
+            crops = _normalize(adaptive_pool_boxes_batched(ii, win, imgidx,
+                                                           (size, size)))
+            new_valid = valid & ok.reshape(b, k)
+            dropped = jnp.zeros((b, k), jnp.int32)
+        else:
+            okv = ok & valid.reshape(b * k)
+            crops, processed, drop_mask = bucketed_crops(win, imgidx, okv, size)
+            new_valid = valid & processed.reshape(b, k)
+            dropped = drop_mask.reshape(b, k).astype(jnp.int32)
         if compute_dtype is not None:
             crops = crops.astype(compute_dtype)
         out = module.apply({"params": mparams}, crops)
         out = tuple(t.astype(jnp.float32) for t in out)
-        return out, (valid & ok.reshape(b, k))
+        return out, new_valid, jnp.sum(dropped, axis=1)
 
-    (reg2, prob2), valid = run_subnet(RNet(), params["rnet"], boxes, valid, 24)
+    (reg2, prob2), valid, counts["stage2_crop_dropped"] = run_subnet(
+        RNet(), params["rnet"], boxes, valid, 24)
     k2 = boxes.shape[1]
     scores = prob2.reshape(b, k2)
     preds = reg2.reshape(b, k2, 4)
@@ -291,7 +368,8 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     boxes = square_bbox(refine_bbox(boxes, preds, plus_one=True))
 
     # ---- stage 3: output network --------------------------------------------
-    (reg3, lmk3, prob3), valid = run_subnet(ONet(), params["onet"], boxes, valid, 48)
+    (reg3, lmk3, prob3), valid, counts["stage3_crop_dropped"] = run_subnet(
+        ONet(), params["onet"], boxes, valid, 48)
     k3 = boxes.shape[1]
     scores = prob3.reshape(b, k3)
     preds = reg3.reshape(b, k3, 4)

@@ -328,7 +328,8 @@ class MtcnnDetector:
     arrays (x1, y1, x2, y2, score), optionally with landmarks."""
 
     def __init__(self, device=None, min_face_size=5, checkpoint="mtcnn_joined",
-                 batch_size=None, caps=None, params=None, mesh=None, bf16=False):
+                 batch_size=None, caps=None, params=None, mesh=None, bf16=False,
+                 crop_engine=None):
         from . import mtcnn as M
 
         print("Initializing MTCNN model for live-action face detection")
@@ -338,6 +339,7 @@ class MtcnnDetector:
         self.M = M
         self.minsize = min_face_size
         self.caps = caps or M.Caps()
+        self.crop_engine = crop_engine  # None = auto (pallas on TPU)
         self.batch_size = batch_size
         if params is None:
             params = _resolve_checkpoint(checkpoint, {
@@ -356,7 +358,8 @@ class MtcnnDetector:
             M, caps, minsize = self.M, self.caps, self.minsize
             self._cache[key] = _jit_fwd(
                 lambda p, f: M.full_forward(p, f, minsize=minsize, caps=caps,
-                                            compute_dtype=self.compute_dtype), self.mesh)
+                                            compute_dtype=self.compute_dtype,
+                                            crop_engine=self.crop_engine), self.mesh)
         return self._cache[key]
 
     def submit(self, frames):
@@ -388,6 +391,13 @@ class MtcnnDetector:
                       % (stage.replace("_scale_max", " (per-scale)")
                          .replace("cross_in", "cross-scale input"),
                          seen, cap, cap_name))
+        for stage in ("stage2", "stage3"):
+            ndrop = int(np.asarray(counts.get(stage + "_crop_dropped", 0)).max())
+            if ndrop > 0:
+                print("WARNING: MTCNN %s crop buckets dropped %d oversized "
+                      "candidate(s) (crops_mid/crops_big capacity); raise "
+                      "Caps.crops_mid/crops_big or use crop_engine='gather'."
+                      % (stage, ndrop))
         of = int(np.asarray(counts.get("stage1_select_overflow", 0)).max())
         if of > 0:
             print("WARNING: MTCNN stage-1 block-select may have truncated %d "
