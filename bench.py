@@ -196,6 +196,135 @@ def bench_embedding_e2e(n_faces=256 if not SMOKE else 32, batch=128):
     return len(paths) / (time.perf_counter() - t0)
 
 
+def bench_pipeline_at_device_rate(n_frames=N_SLOW, batch_size=8):
+    """The REAL pipeline loop (submit/collect software pipelining, box
+    filter/adjust/crop, prev-5 dedup, async JPEG writes) driven with
+    PRE-STAGED device input batches — isolating the pipeline MACHINERY from
+    this VM's dev-tunnel H2D (~tens of MB/s; PCIe on real hosts) and 1-core
+    decode, both environment artifacts. Compare with
+    bench_device_graph_only: the gap is the true pipeline overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu import config
+    from videotofaces_tpu.hostio import PrefetchingFrameSource, open_reader
+    from videotofaces_tpu.hostio.video import frame_schedule
+    from videotofaces_tpu.models.wrappers import pad_batch
+    from videotofaces_tpu.pipeline.detection import get_detector_model, process_stream
+    from videotofaces_tpu.specs import BoxCriteria, OutputLayout
+    from videotofaces_tpu.utils import weights as W
+
+    config.set_precision("default")
+    det = get_detector_model("live", "yolo", None, batch_size=batch_size, bf16=True)
+    if not osp.isfile(osp.join(W.weights_dir(), "yolov3_wider.npz")):
+        _sparsify(det, "yolo")
+
+    video = _video(n_frames)
+    reader = open_reader(video)
+    indices, step = frame_schedule(reader.length, reader.fps, 1.0 / FPS, None)
+    batches = list(PrefetchingFrameSource(reader, indices, step, batch_size))
+    reader.close()
+
+    staged = []
+    for _, frames in batches:
+        arr, _ = pad_batch(list(frames), batch_size)
+        staged.append(jnp.asarray(arr))
+    for a in staged:  # materialize before timing (device stream is FIFO)
+        jax.device_get(a[0, 0, 0])
+
+    k = [0]
+
+    def staged_submit(frames):
+        arr = staged[k[0] % len(staged)]
+        k[0] += 1
+        h, w = frames[0].shape[:2]
+        fn = det._compiled(arr.shape[0], h, w)
+        return fn(det.params, arr), len(frames)
+
+    det.submit = staged_submit
+    criteria = BoxCriteria(batch_size=batch_size)
+    with tempfile.TemporaryDirectory() as tmp:  # compile + warm
+        warm = OutputLayout(tmp)
+        warm.prepare_dirs(True)
+        process_stream(_Replay(batches[:2]), 2 * batch_size, det, criteria,
+                       warm, hash_thr=8)
+    k[0] = 0
+    out = tempfile.mkdtemp()
+    try:
+        layout = OutputLayout(out)
+        layout.prepare_dirs(True)
+        t0 = time.perf_counter()
+        process_stream(_Replay(batches), len(indices), det, criteria,
+                       layout, hash_thr=8)
+        return len(indices) / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def bench_embed_device(kind, batch=128, iters=10):
+    """Honest device-graph embedding rate: batch-128 uint8 face crops
+    PRE-STAGED on device, forward jitted graph, device_get-synced
+    (BASELINE.json 'faces embedded/sec at batch 128' on the device side)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu import config
+    from videotofaces_tpu.pipeline.grouping import get_encoder_model
+    from videotofaces_tpu.utils.profiling import sync
+
+    config.set_precision("default")
+    style = "live" if kind.startswith("facenet") else "anime"
+    enc = get_encoder_model(style, kind, None, batch_size=batch)
+    s = enc.input_size
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, size=(batch, s, s, 3)).astype(np.uint8))
+    jax.device_get(x[0, 0, 0])
+    fn = enc._compiled(batch)
+    sync(fn(enc.params, x))
+    sync(fn(enc.params, x))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(enc.params, x)
+    sync(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def bench_embed_device_pallas_resize(kind="facenet_vgg", batch=128, iters=10,
+                                     crop_px=180):
+    """Same rate with the fused Pallas resize+normalize in the graph
+    (device_resize=True): packed variable-size uint8 crops pre-staged on
+    device — quantifies the on-device resize path built for hosts too weak
+    to cv2-resize at device rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu import config
+    from videotofaces_tpu.ops import pallas_resize as PRZ
+    from videotofaces_tpu.pipeline.grouping import get_encoder_model
+    from videotofaces_tpu.utils.profiling import sync
+
+    config.set_precision("default")
+    style = "live" if kind.startswith("facenet") else "anime"
+    enc = get_encoder_model(style, kind, None, batch_size=batch,
+                            device_resize=True, pack_size=256)
+    rng = np.random.default_rng(0)
+    crops = [rng.integers(0, 255, size=(crop_px - (i % 40), crop_px, 3)).astype(np.uint8)
+             for i in range(batch)]
+    packed, sizes = PRZ.pack_images(crops, enc.pack_size)
+    packed, sizes = jnp.asarray(packed), jnp.asarray(sizes)
+    jax.device_get(packed[0, 0, 0, 0])
+    fn = enc._compiled_packed(batch)
+    sync(fn(enc.params, packed, sizes))
+    sync(fn(enc.params, packed, sizes))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(enc.params, packed, sizes)
+    sync(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def bench_h2d(mb=48, iters=8):
     """Host->device transfer rate (MB/s). On this dev setup the chip sits
     behind a network tunnel (~tens of MB/s); on a real TPU host this is PCIe
@@ -261,11 +390,27 @@ def main():
     emb = bench_embedding_e2e()
     dev = bench_device_graph_only()
     h2d = bench_h2d()
+
+    def _try(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:
+            print("bench %s FAILED: %r" % (fn.__name__, e), file=sys.stderr)
+            return float("nan")
+
+    pipe_dev = _try(bench_pipeline_at_device_rate)
+    emb_dev = {k: _try(bench_embed_device, k)
+               for k in ("facenet_vgg", "vit_b", "vit_l")}
+    emb_prz = _try(bench_embed_device_pallas_resize)
     frame_mb = SIZE[0] * SIZE[1] * 3 / 2**20
     print("host decode: %.1f frames/s (%d cores); H2D: %.1f MB/s (= %.1f frames/s "
           "ceiling); embedding from disk: %.1f faces/s (batch 128); YOLO device "
-          "graph: %.1f frames/s"
-          % (decode_fps, os.cpu_count() or 1, h2d, h2d / frame_mb, emb, dev),
+          "graph: %.1f frames/s; pipeline-at-device-rate: %.1f frames/s "
+          "(pre-staged inputs, real postprocess+dedup+writes); device embed "
+          "faces/s: facenet=%.0f vit_b=%.0f vit_l=%.0f, facenet+pallas-resize=%.0f"
+          % (decode_fps, os.cpu_count() or 1, h2d, h2d / frame_mb, emb, dev,
+             pipe_dev, emb_dev["facenet_vgg"], emb_dev["vit_b"], emb_dev["vit_l"],
+             emb_prz),
           file=sys.stderr)
 
     # Every stage of the end-to-end path, measured separately and honestly.
@@ -276,15 +421,20 @@ def main():
     # with every host-side component rate alongside it.
     metric = ("%dx%d frames/sec, YOLO detector graph on one v5e chip "
               "(uint8 in, resize+backbone+NMS one jitted graph, bf16, "
-              "device_get-synced). Full-pipeline components measured "
-              "separately on this %d-core/dev-tunnel VM: pipeline loop incl. "
-              "tunnel H2D+postprocess+dedup+writes yolo=%.1f rcnn=%.1f "
-              "mtcnn=%.1f fps; H2D %.1f MB/s (dev tunnel; %.1f fps ceiling "
-              "— PCIe on real hosts); host decode %.1f fps/core (parallel "
-              "decoder scales with cores); faces embedded/sec at batch 128 "
-              "from disk = %.1f"
-              % (*SIZE, os.cpu_count() or 1, results["yolo"], results["rcnn"],
-                 results["mtcnn"], h2d, h2d / frame_mb, decode_fps, emb))
+              "device_get-synced). Pipeline machinery at device rate "
+              "(pre-staged inputs, REAL submit/collect+boxfilter+dedup+async "
+              "writes) = %.1f fps. Components on this %d-core/dev-tunnel VM: "
+              "pipeline loop incl. tunnel H2D yolo=%.1f rcnn=%.1f mtcnn=%.1f "
+              "fps; H2D %.1f MB/s (dev tunnel; %.1f fps ceiling — PCIe on "
+              "real hosts); host decode %.1f fps/core (parallel decoder "
+              "scales with cores). Faces embedded/sec at batch 128, device "
+              "graph device_get-synced: facenet=%.0f vit_b=%.0f vit_l=%.0f "
+              "(+fused pallas resize-in-graph facenet=%.0f); from disk on "
+              "this 1-core host = %.1f"
+              % (*SIZE, pipe_dev, os.cpu_count() or 1, results["yolo"],
+                 results["rcnn"], results["mtcnn"], h2d, h2d / frame_mb,
+                 decode_fps, emb_dev["facenet_vgg"], emb_dev["vit_b"],
+                 emb_dev["vit_l"], emb_prz, emb))
     print(json.dumps({
         "metric": metric,
         "value": round(dev, 2),

@@ -84,6 +84,29 @@ def test_yolo_spec_matches_param_tree():
         np.testing.assert_array_equal(flat[k], exp_flat[k])
 
 
+def test_s2d_stem_matches_standard_stem(rng):
+    """Space-to-depth conv1+stage0_down reformulation is tap-for-tap
+    identical to the standard stem (accumulation reassociation only)."""
+    m = Y.YOLOv3(1)
+    x = jnp.asarray(rng.normal(0, 0.5, size=(2, 64, 96, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    want = Y.dconv(64, 3, s=2, name="stage0_down").apply(
+        {"params": params["backbone"]["stage0_down"]},
+        Y.dconv(32, 3, name="conv1").apply(
+            {"params": params["backbone"]["conv1"]}, x))
+    got = Y.s2d_stem(params["backbone"], x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # full graphs agree end to end
+    maps_ref = m.apply({"params": params}, x)
+    maps_s2d = Y.YOLOv3(1, from_stage0=True).apply({"params": params}, got)
+    for a, b in zip(maps_ref, maps_s2d):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_yolo_full_forward_smoke(rng):
     frames = rng.integers(0, 255, size=(2, 120, 160, 3)).astype(np.uint8)
     nh, nw = Y.resized_shape(120, 160, max_side=160)

@@ -21,6 +21,7 @@ from ..ops.boxes import decode_boxes
 from ..ops.nms import nms_keep_mask
 from ..ops.select import block_topk_select
 from ..ops.resize import bilinear_resize_matmul
+from .. import config
 from .layers import ConvUnit
 
 BASES = [
@@ -45,16 +46,25 @@ class ResBlock(nn.Module):
 
 
 class Darknet53(nn.Module):
-    """Returns (C3, C4, C5) at strides (8, 16, 32)."""
+    """Returns (C3, C4, C5) at strides (8, 16, 32).
+
+    ``from_stage0``: the input is already the stage0_down ConvUnit's output
+    (the space-to-depth stem, ``s2d_stem`` below, computed conv1 AND
+    stage0_down outside the module); conv1/stage0_down params still exist in
+    checkpoints — flax ignores unvisited subtrees."""
+
+    from_stage0: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = dconv(32, 3, name="conv1")(x)
         counts = [1, 2, 8, 8, 4]
         chans = [64, 128, 256, 512, 1024]
+        if not self.from_stage0:
+            x = dconv(32, 3, name="conv1")(x)
         outs = []
         for i, (n, c) in enumerate(zip(counts, chans)):
-            x = dconv(c, 3, s=2, name=f"stage{i}_down")(x)
+            if not (self.from_stage0 and i == 0):
+                x = dconv(c, 3, s=2, name=f"stage{i}_down")(x)
             for j in range(n):
                 x = ResBlock(c, name=f"stage{i}_res{j}")(x)
             outs.append(x)
@@ -111,12 +121,90 @@ class YOLOv3Head(nn.Module):
 
 class YOLOv3(nn.Module):
     num_classes: int = 1
+    from_stage0: bool = False  # input = s2d_stem output (see Darknet53)
 
     @nn.compact
     def __call__(self, x):
-        c3, c4, c5 = Darknet53(name="backbone")(x)
+        c3, c4, c5 = Darknet53(self.from_stage0, name="backbone")(x)
         y3, y2, y1 = YOLOv3Neck(name="neck")(c3, c4, c5)
         return YOLOv3Head(self.num_classes, name="head")(y3, y2, y1)
+
+
+def _bn_lrelu(x, bn, eps=1e-5, leak=0.1, tile=1):
+    """ConvUnit's BatchNormInference + leaky-ReLU on (possibly phase-packed)
+    activations; ``tile`` repeats the per-channel params across phases."""
+    rep = (lambda v: jnp.tile(v, tile)) if tile > 1 else (lambda v: v)
+    x = (x - rep(bn["mean"])) / jnp.sqrt(rep(bn["var"]) + eps) * rep(bn["scale"]) \
+        + rep(bn["bias"])
+    return jnp.where(x >= 0, x, leak * x)
+
+
+def s2d_stem(backbone_params, x):
+    """Space-to-depth reformulation of Darknet53's first two ConvUnits.
+
+    conv1 (3x3 s1, 3->32) runs at 3/128 input-lane utilization on the MXU
+    and stage0_down's full-res input costs a [B, H, W, 32] round trip to
+    HBM. Rearranged exactly (same multiplies, different blocking):
+
+    - input -> space-to-depth [B, H/2, W/2, 12] (channel = (row parity,
+      col parity, rgb));
+    - conv1 becomes a 3x3 conv 12 -> 128 at half resolution, output channel
+      = (out row parity, out col parity, original 32) — weights scattered
+      by phase, zero where a tap falls outside the original 3x3 support;
+    - stage0_down (3x3 s2, 32->64) consumes the PACKED conv1 output as a
+      2x2 conv 128 -> 64 with top/left padding 1/0 — the full-resolution
+      32-channel tensor is never materialized.
+
+    Returns stage0_down's output [B, H/2, W/2, 64]; feed it to
+    ``YOLOv3(from_stage0=True)``. Numerics: identical taps, XLA may
+    re-associate accumulation (float-level differences only).
+    """
+    prec = config.get_precision()
+    k1 = backbone_params["conv1"]["conv"]["kernel"]          # [3, 3, 3, 32]
+    k0 = backbone_params["stage0_down"]["conv"]["kernel"]    # [3, 3, 32, 64]
+    b, h, w, _ = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    s2d = x.reshape(b, h // 2, 2, w // 2, 2, 3)
+    s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
+
+    w1 = jnp.zeros((3, 3, 12, 128), k1.dtype)
+    for pi in (0, 1):                    # output row parity
+        for pr in (0, 1):                # input row parity
+            for r in range(3):           # packed kernel row
+                di = 2 * r - 2 + pr - pi
+                if not -1 <= di <= 1:
+                    continue
+                for pj in (0, 1):
+                    for pc in (0, 1):
+                        for s in range(3):
+                            dj = 2 * s - 2 + pc - pj
+                            if not -1 <= dj <= 1:
+                                continue
+                            w1 = w1.at[r, s, pr * 6 + pc * 3:pr * 6 + pc * 3 + 3,
+                                       pi * 64 + pj * 32:pi * 64 + pj * 32 + 32
+                                       ].set(k1[di + 1, dj + 1])
+    y = jax.lax.conv_general_dilated(
+        s2d, w1, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    y = _bn_lrelu(y, backbone_params["conv1"]["bn"], tile=4)  # packed [.., 128]
+
+    w0 = jnp.zeros((2, 2, 128, 64), k0.dtype)
+    for pi in (0, 1):
+        for r in range(2):
+            di = 2 * (r - 1) + pi
+            if not -1 <= di <= 1:
+                continue
+            for pj in (0, 1):
+                for s in range(2):
+                    dj = 2 * (s - 1) + pj
+                    if not -1 <= dj <= 1:
+                        continue
+                    w0 = w0.at[r, s, pi * 64 + pj * 32:pi * 64 + pj * 32 + 32
+                               ].set(k0[di + 1, dj + 1])
+    z = jax.lax.conv_general_dilated(
+        y, w0, (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    return _bn_lrelu(z, backbone_params["stage0_down"]["bn"])
 
 
 def flat_priors_and_strides(canvas_hw):
@@ -201,7 +289,8 @@ def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=
 
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
-                 num_classes=1, out_topk=100, orig_hw=None, compute_dtype=None):
+                 num_classes=1, out_topk=100, orig_hw=None, compute_dtype=None,
+                 s2d=False):
     """uint8 BGR frames -> final detections, one jitted graph.
 
     Mirrors YOLOv3.forward (yolo.py:139-147): keep-ratio resize to 608 max
@@ -238,7 +327,10 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
             # halved weight streaming; measured ~16% faster, identical
             # detections
             x = x.astype(compute_dtype)
-    maps = YOLOv3(num_classes).apply({"params": params}, x)
+    if s2d:
+        # space-to-depth stem: same taps, MXU-friendly blocking (s2d_stem)
+        x = s2d_stem(params["backbone"], x)
+    maps = YOLOv3(num_classes, from_stage0=s2d).apply({"params": params}, x)
     maps = [t.astype(jnp.float32) for t in maps]
     boxes, scores, classes, valid, overflow = postprocess(
         maps, priors, strides, num_classes, out_topk=out_topk)
