@@ -57,7 +57,7 @@ def test_rpn_proposals_match_oracle(rng):
         logs.append(rng.normal(-1, 1.5, size=(b, d)).astype(np.float32))
     used = np.asarray([[60.0, 96.0], [64.0, 90.0]], np.float32)
 
-    got_boxes, got_valid = jax.jit(
+    got_boxes, got_valid, _ = jax.jit(
         lambda rg, lg: R.rpn_proposals(rg, lg, [jnp.asarray(p) for p in priors],
                                        jnp.asarray(used), lvtop=50, out_top=40)
     )([jnp.asarray(r) for r in regs], [jnp.asarray(l) for l in logs])
@@ -68,6 +68,35 @@ def test_rpn_proposals_match_oracle(rng):
         wb, wo = want[i]
         assert v.sum() == len(wb)
         np.testing.assert_allclose(np.asarray(got_boxes[i])[v], wb, rtol=1e-3, atol=5e-3)
+
+
+def test_rpn_block_select_matches_exact(rng):
+    """Throughput-mode RPN per-level selection (lane-block top-k on big
+    levels) must reproduce the exact lax.top_k proposals when no block
+    overflows (overflow is counted exactly and surfaced)."""
+    from videotofaces_tpu import config
+
+    canvas = (96, 128)
+    priors = get_priors(canvas, R.frcnn_bases(), loc="corner", concat=False)
+    b = 2
+    regs, logs = [], []
+    for p in priors:
+        d = p.shape[0]
+        regs.append(rng.normal(0, 0.2, size=(b, d, 4)).astype(np.float32))
+        logs.append(rng.normal(-1, 1.5, size=(b, d)).astype(np.float32))
+    used = np.asarray([[90.0, 128.0], [96.0, 120.0]], np.float32)
+    args = ([jnp.asarray(r) for r in regs], [jnp.asarray(l) for l in logs],
+            [jnp.asarray(p) for p in priors], jnp.asarray(used))
+
+    with config.precision_scope("highest"):
+        want_b, want_v, _ = R.rpn_proposals(*args, lvtop=64, out_top=48)
+    with config.precision_scope("default"):
+        got_b, got_v, overflow = R.rpn_proposals(*args, lvtop=64, out_top=48)
+    assert int(np.asarray(overflow).max()) == 0
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    v = np.asarray(want_v)
+    np.testing.assert_allclose(np.asarray(got_b)[v], np.asarray(want_b)[v],
+                               rtol=1e-5, atol=1e-4)
 
 
 def test_frcnn_full_forward_smoke(rng):

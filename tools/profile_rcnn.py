@@ -64,14 +64,14 @@ def build(batch=2, h=720, w=1280, bf16=True):
 
     def stage_b(params, f):
         pyramid, regs, logs = pre_and_body(params, f)
-        props, pvalid = R.rpn_proposals(regs, logs, priors, used)
+        props, pvalid, _ = R.rpn_proposals(regs, logs, priors, used)
         return props.sum(), pvalid.sum()
 
     def stage_c(params, f):
         from videotofaces_tpu.ops.roi_align import roi_align_multilevel
 
         pyramid, regs, logs = pre_and_body(params, f)
-        props, pvalid = R.rpn_proposals(regs, logs, priors, used)
+        props, pvalid, _ = R.rpn_proposals(regs, logs, priors, used)
         roi = jax.vmap(lambda bx, f0, f1, f2, f3: roi_align_multilevel(
             [f0, f1, f2, f3], bx, R.STRIDES[:4]))(props, *pyramid[:4])
         return roi.sum()
@@ -80,7 +80,7 @@ def build(batch=2, h=720, w=1280, bf16=True):
         from videotofaces_tpu.ops.roi_align import roi_align_multilevel
 
         pyramid, regs, logs = pre_and_body(params, f)
-        props, pvalid = R.rpn_proposals(regs, logs, priors, used)
+        props, pvalid, _ = R.rpn_proposals(regs, logs, priors, used)
         roi = jax.vmap(lambda bx, f0, f1, f2, f3: roi_align_multilevel(
             [f0, f1, f2, f3], bx, R.STRIDES[:4]))(props, *pyramid[:4])
         b, r = roi.shape[:2]

@@ -92,7 +92,7 @@ def main(batch=2, h=720, w=1280):
         return keep.sum()
 
     def s4(regs, logs):
-        props, pvalid = R.rpn_proposals(regs, logs, jpriors, used)
+        props, pvalid, _ = R.rpn_proposals(regs, logs, jpriors, used)
         return props.sum(), pvalid.sum()
 
     def s4b(regs, logs):

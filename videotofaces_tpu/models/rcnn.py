@@ -21,6 +21,7 @@ from flax import linen as nn
 from ..ops.anchors import make_anchors
 from ..ops.boxes import clamp_to_canvas, convert_to_cwh, decode_boxes, small_boxes_mask
 from ..ops.nms import nms_keep_mask, topk_by_score
+from ..ops.select import block_topk_select
 from ..ops.resize import bilinear_resize_matmul
 from ..ops.roi_align import roi_align_multilevel
 from .. import config
@@ -127,19 +128,41 @@ def rpn_proposals(regs, logs, priors_per_level, canvas_used_hw, lvtop=1000,
     """
     b = regs[0].shape[0]
     nl = len(regs)
-    boxes_l, logits_l, valid_l = [], [], []
+    fast = config.get_precision_name() == "default"
+    boxes_l, obj_l, valid_l = [], [], []
+    select_overflow = jnp.zeros((b,), jnp.int32)
     for reg, log, pri in zip(regs, logs, priors_per_level):
         k = min(lvtop, log.shape[1])
-        vals, idx = jax.lax.top_k(log, k)                       # raw-logit order
-        sel_reg = jnp.take_along_axis(reg, idx[..., None], axis=1)
-        sel_pri = jnp.asarray(pri)[idx]                         # [B, k, 4]
-        bx = decode_boxes(sel_reg, sel_pri)
+        d = log.shape[1]
+        if fast and d > 4 * k:
+            # big FPN levels (P2 is ~200k anchors at 800x1333): lax.top_k
+            # WITH payload gather lowers to a full variadic sort + long-axis
+            # gathers (the same pattern that cost ~20 ms/level in MTCNN) —
+            # use the lane-block selector, carrying reg + prior through.
+            # Selection key = sigmoid(logit): same order, and >0 as the
+            # block selector's exact overflow test requires.
+            pay = jnp.concatenate(
+                [reg, jnp.broadcast_to(jnp.asarray(pri, reg.dtype)[None],
+                                       (b, d, 4))], axis=-1)
+            probs, sel, overflow = block_topk_select(
+                jax.nn.sigmoid(log), pay, k, per_block=4)
+            select_overflow = select_overflow + overflow
+            bx = decode_boxes(sel[..., :4], sel[..., 4:])
+            ob = jnp.maximum(probs, 0.0)                        # -inf pad -> 0
+            vmask = jnp.isfinite(probs)
+        else:
+            vals, idx = jax.lax.top_k(log, k)                   # raw-logit order
+            sel_reg = jnp.take_along_axis(reg, idx[..., None], axis=1)
+            sel_pri = jnp.asarray(pri)[idx]                     # [B, k, 4]
+            bx = decode_boxes(sel_reg, sel_pri)
+            ob = jax.nn.sigmoid(vals)
+            vmask = jnp.ones((b, k), bool)
         pad = lvtop - k
         boxes_l.append(jnp.pad(bx, ((0, 0), (0, pad), (0, 0))))
-        logits_l.append(jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf))
-        valid_l.append(jnp.pad(jnp.ones((b, k), bool), ((0, 0), (0, pad))))
+        obj_l.append(jnp.pad(ob, ((0, 0), (0, pad))))
+        valid_l.append(jnp.pad(vmask, ((0, 0), (0, pad))))
     boxes = jnp.stack(boxes_l, axis=1)                          # [B, L, T, 4]
-    obj = jax.nn.sigmoid(jnp.stack(logits_l, axis=1))           # [B, L, T]
+    obj = jnp.stack(obj_l, axis=1)                              # [B, L, T]
     valid = jnp.stack(valid_l, axis=1)
 
     boxes = clamp_to_canvas(boxes, canvas_used_hw[:, None, None, :])
@@ -152,7 +175,7 @@ def rpn_proposals(regs, logs, priors_per_level, canvas_used_hw, lvtop=1000,
     boxes = boxes.reshape(b, nl * lvtop, 4)
     idx, out_valid = jax.vmap(lambda ss, kk: topk_by_score(ss, kk, out_top))(obj, keep)
     out_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-    return out_boxes, out_valid
+    return out_boxes, out_valid, select_overflow
 
 
 def roi_detections(apply_head, pyramid, proposals, pvalid, canvas_used_hw,
@@ -246,8 +269,9 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
     regs = [t.astype(jnp.float32) for t in regs]
     logs = [t.astype(jnp.float32) for t in logs]
     used = jnp.tile(jnp.asarray([[nh, nw]], jnp.float32), (x.shape[0], 1))
-    proposals, pvalid = rpn_proposals(regs, logs, priors_per_level, used,
-                                      lvtop=proposal_cap, out_top=proposal_cap)
+    proposals, pvalid, select_overflow = rpn_proposals(
+        regs, logs, priors_per_level, used, lvtop=proposal_cap,
+        out_top=proposal_cap)
 
     def apply_head(roi_maps):
         if compute_dtype is not None:
@@ -258,7 +282,9 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
     boxes, scores, classes, valid = roi_detections(
         apply_head, pyramid, proposals, pvalid, used, num_classes, out_top=out_top)
     scale = jnp.asarray([w / nw, h / nh, w / nw, h / nh], jnp.float32)
-    return boxes * scale, scores, classes, valid
+    # 5th output: RPN block-select truncation-risk counter — the wrapper's
+    # collect() warns on it exactly like YOLO's (wrappers.py)
+    return boxes * scale, scores, classes, valid, select_overflow
 
 
 def torch_spec(num_classes=1):
