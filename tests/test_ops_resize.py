@@ -6,28 +6,31 @@ from videotofaces_tpu.ops import resize as R
 import oracles
 
 
-def test_adaptive_avg_resize_matches_torch(rng):
+def test_adaptive_pool_full_matches_torch(rng):
+    """The pyramid resample (integral-image form) == F.adaptive_avg_pool2d."""
     import torch
     import torch.nn.functional as F
 
-    x = rng.uniform(-1, 1, size=(2, 37, 53, 3)).astype(np.float32)
-    for out in [(24, 24), (12, 30), (37, 53), (48, 60)]:
-        got = np.asarray(R.adaptive_avg_resize(jnp.asarray(x), out))
-        t = torch.from_numpy(x).permute(0, 3, 1, 2)
-        if max(out) <= max(37, 53):
-            want = F.adaptive_avg_pool2d(t, out).permute(0, 2, 3, 1).numpy()
-            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    x = rng.integers(0, 256, size=(2, 37, 53, 3)).astype(np.uint8)
+    ii = R.integral_image(jnp.asarray(x))
+    t = torch.from_numpy(x.astype(np.float32)).permute(0, 3, 1, 2)
+    for out in [(24, 24), (12, 30), (37, 53)]:
+        got = np.asarray(R.adaptive_pool_full(ii, out, (37, 53)))
+        want = F.adaptive_avg_pool2d(t, out).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
-def test_adaptive_avg_upsample_matches_torch(rng):
+def test_adaptive_pool_full_upsample_matches_torch(rng):
     # MTCNN pyramid can upscale (sizes = int(H*s+1)); adaptive pool handles it too
     import torch
     import torch.nn.functional as F
 
-    x = rng.uniform(-1, 1, size=(1, 20, 20, 3)).astype(np.float32)
-    got = np.asarray(R.adaptive_avg_resize(jnp.asarray(x), (49, 49)))
-    want = F.adaptive_avg_pool2d(torch.from_numpy(x).permute(0, 3, 1, 2), (49, 49))
-    np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-5)
+    x = rng.integers(0, 256, size=(1, 20, 20, 3)).astype(np.uint8)
+    ii = R.integral_image(jnp.asarray(x))
+    got = np.asarray(R.adaptive_pool_full(ii, (49, 49), (20, 20)))
+    want = F.adaptive_avg_pool2d(torch.from_numpy(x.astype(np.float32)).permute(0, 3, 1, 2),
+                                 (49, 49))
+    np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-4)
 
 
 def test_bilinear_resize_matches_torch(rng):

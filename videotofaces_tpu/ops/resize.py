@@ -6,12 +6,7 @@ Three families, matching the three resampling behaviors of the reference:
    ``interpolate(align_corners=False)``), used for detector preprocessing
    (operations/prep.py:77) and encoder blobs (facenet.py:179, vit.py:141).
 
-2. ``adaptive_avg_resize`` — exact replica of ``F.adaptive_avg_pool2d``
-   (mtcnn.py:150-151) for *static* shapes, expressed as two small matmuls
-   with host-precomputed averaging matrices: ``out = Wh @ x @ Ww^T``. This is
-   how the MTCNN image pyramid runs on the MXU.
-
-3. ``integral_image`` + ``adaptive_pool_boxes`` — exact adaptive average
+2. ``integral_image`` + ``adaptive_pool_boxes`` — exact adaptive average
    pooling of *dynamic* uint8 crops (MTCNN stage 2/3 candidate windows,
    mtcnn.py:153-163) via an int32 integral image. Inputs are uint8-derived, so
    window sums are exact integers (max 2^31 safe for <=8.4MP frames) and the
@@ -30,33 +25,6 @@ def bilinear_resize(x, out_hw):
     shape = list(x.shape)
     shape[-3], shape[-2] = out_hw
     return jax.image.resize(x.astype(jnp.float32), shape, method="linear", antialias=False)
-
-
-@functools.lru_cache(maxsize=None)
-def _adaptive_matrix(in_size: int, out_size: int):
-    """[out, in] averaging matrix replicating adaptive_avg_pool1d windows:
-    window_i = [floor(i*in/out), ceil((i+1)*in/out))."""
-    w = np.zeros((out_size, in_size), dtype=np.float32)
-    for i in range(out_size):
-        a = (i * in_size) // out_size
-        b = -((-(i + 1) * in_size) // out_size)  # ceil
-        w[i, a:b] = 1.0 / (b - a)
-    return w
-
-
-def adaptive_avg_resize(x, out_hw):
-    """Exact ``F.adaptive_avg_pool2d`` for NHWC (or HWC) arrays with static shapes.
-
-    Runs as two dense matmuls (MXU) with precomputed window-average matrices.
-    """
-    h, w = x.shape[-3], x.shape[-2]
-    oh, ow = out_hw
-    wh = jnp.asarray(_adaptive_matrix(h, oh))
-    ww = jnp.asarray(_adaptive_matrix(w, ow))
-    x = x.astype(jnp.float32)
-    x = jnp.einsum("oh,...hwc->...owc", wh, x, precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("pw,...owc->...opc", ww, x, precision=jax.lax.Precision.HIGHEST)
-    return x
 
 
 def integral_image(frames, dtype=jnp.int32):
