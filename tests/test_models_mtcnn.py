@@ -143,6 +143,26 @@ def test_stage1_block_select_matches_exact_topk(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pnet_s2d_head_matches_standard(rng):
+    """The space-to-depth conv1+prelu+ceil-pool head is tap-identical to the
+    module path, including odd level sizes (ceil-mode edge windows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"]
+    for sh, sw in [(12, 12), (13, 17), (24, 31), (27, 26)]:
+        x = jnp.asarray(rng.normal(0, 0.5, size=(2, sh, sw, 3)).astype(np.float32))
+        want_reg, want_prob = M.PNet().apply({"params": params}, x)
+        pooled = M.pnet_s2d_head(params, x)
+        got_reg, got_prob = M.PNet(from_pool1=True).apply({"params": params}, pooled)
+        np.testing.assert_allclose(np.asarray(got_prob), np.asarray(want_prob),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_reg), np.asarray(want_reg),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_cascade_pallas_crop_engine_matches_gather(rng):
     """Full cascade with the pallas crop engine (interpret mode on CPU) must
     reproduce the gather engine's detections: same valid set, same boxes and

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.nms import iom_chain_suppress, nms_keep_mask, topk_by_score
@@ -40,18 +41,81 @@ def _pconv(cout, k, name):
 
 
 class PNet(nn.Module):
-    """Fully-convolutional proposal net: 12x12 receptive field, stride 2."""
+    """Fully-convolutional proposal net: 12x12 receptive field, stride 2.
+
+    ``from_pool1``: input is already the pool1 output (the space-to-depth
+    stem ``pnet_s2d_head`` computed conv1+prelu1+pool1 outside the module —
+    conv1's 3 input channels waste 125/128 MXU lanes at full pyramid area,
+    the dominant cost at min_face_size=5)."""
+
+    from_pool1: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = _pconv(10, 3, "conv1")(x)
-        x = max_pool2d(x, 2, 2, ceil_mode=True)
+        if not self.from_pool1:
+            x = _pconv(10, 3, "conv1")(x)
+            x = max_pool2d(x, 2, 2, ceil_mode=True)
         x = _pconv(16, 3, "conv2")(x)
         x = _pconv(32, 3, "conv3")(x)
         prec = config.get_precision()
         prob = jax.nn.softmax(nn.Conv(2, (1, 1), precision=prec, name="cls")(x), axis=-1)[..., 1]
         reg = nn.Conv(4, (1, 1), precision=prec, name="reg")(x)
         return reg, prob
+
+
+def pnet_s2d_head(pnet_params, x):
+    """conv1 (3x3 VALID, 3->10) + PReLU + ceil 2x2 s2 maxpool via space-to-
+    depth: the packed conv contracts 12 -> 40 channels at quarter area
+    (identical taps), and the stride-2 pool collapses to a masked max over
+    the 4 phase groups — the full-resolution 10-channel map is never
+    materialized. Returns pool1's output [B, ceil((H-2)/2), ceil((W-2)/2), 10].
+    """
+    prec = config.get_precision()
+    k1 = pnet_params["conv1"]["conv"]["kernel"]       # [3, 3, 3, 10]
+    b1 = pnet_params["conv1"]["conv"]["bias"]
+    alpha = pnet_params["conv1"]["prelu"]["alpha"]
+    b, sh, sw, _ = x.shape
+    hv, wv = sh - 2, sw - 2                           # VALID conv1 output size
+    she, swe = sh + (sh % 2), sw + (sw % 2)
+    x = jnp.pad(x, ((0, 0), (0, she - sh), (0, swe - sw), (0, 0)))
+    s2d = x.reshape(b, she // 2, 2, swe // 2, 2, 3)
+    s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, she // 2, swe // 2, 12)
+
+    w2 = jnp.zeros((2, 2, 12, 40), k1.dtype)
+    for pi in (0, 1):
+        for pr in (0, 1):
+            for r in (0, 1):
+                di = 2 * r + pr - pi                  # VALID window offset
+                if not 0 <= di <= 2:
+                    continue
+                for pj in (0, 1):
+                    for pc in (0, 1):
+                        for s in (0, 1):
+                            dj = 2 * s + pc - pj
+                            if not 0 <= dj <= 2:
+                                continue
+                            w2 = w2.at[r, s, pr * 6 + pc * 3:pr * 6 + pc * 3 + 3,
+                                       pi * 20 + pj * 10:pi * 20 + pj * 10 + 10
+                                       ].set(k1[di, dj])
+    y = jax.lax.conv_general_dilated(
+        s2d, w2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    y = y + jnp.tile(b1, 4)
+    a4 = jnp.tile(alpha, 4)
+    y = jnp.maximum(y, 0) + a4 * jnp.minimum(y, 0)    # PReLU on packed phases
+
+    # ceil-mode 2x2 s2 maxpool == max over phase groups, masking phases whose
+    # full-res position falls outside the VALID conv1 output (static masks)
+    ni, nj = -(-hv // 2), -(-wv // 2)
+    ph = y[:, :ni, :nj].reshape(b, ni, nj, 2, 2, 10)
+    neg = jnp.asarray(-jnp.inf, ph.dtype)
+    rows1 = jnp.asarray((2 * np.arange(ni) + 1 < hv))[None, :, None]
+    cols1 = jnp.asarray((2 * np.arange(nj) + 1 < wv))[None, None, :]
+    p00 = ph[..., 0, 0, :]
+    p01 = jnp.where(cols1[..., None], ph[..., 0, 1, :], neg)
+    p10 = jnp.where(rows1[..., None], ph[..., 1, 0, :], neg)
+    p11 = jnp.where((rows1 & cols1)[..., None], ph[..., 1, 1, :], neg)
+    return jnp.maximum(jnp.maximum(p00, p01), jnp.maximum(p10, p11))
 
 
 def _flatten_whc(x):
@@ -218,7 +282,8 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         frames_chw = pad_frames_chw(jnp.transpose(
             _normalize(frames_u8[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2)))
 
-    pnet = PNet()
+    fast = config.get_precision_name() == "default"
+    pnet = PNet(from_pool1=fast)
     counts = {}
 
     # ---- stage 1: proposal network over the pyramid -------------------------
@@ -230,6 +295,10 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
         if compute_dtype is not None:
             level = level.astype(compute_dtype)
+        if fast:
+            # conv1+pool1 via the space-to-depth head (identical taps at
+            # 13x the lane utilization and quarter area)
+            level = pnet_s2d_head(params["pnet"], level)
         reg, prob = pnet.apply({"params": params["pnet"]}, level)
         reg, prob = reg.astype(jnp.float32), prob.astype(jnp.float32)
         ph, pw = prob.shape[1:3]
@@ -240,7 +309,6 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         total_cand = total_cand + level_cand
         scale_max = jnp.maximum(scale_max, level_cand)
         k1 = min(caps.pre1, d)
-        fast = config.get_precision_name() == "default"
         if fast and d > 4 * k1:
             # big levels: lane-block top-k with the payload (reg + flat index,
             # f32-exact for d < 2^24) carried through — lax.top_k's full
