@@ -55,8 +55,16 @@ def main():
     ref = jax.device_get(fns[False](params, frames))
     got = jax.device_get(fns[True](params, frames))
     same_valid = bool(np.array_equal(ref[3], got[3]))
-    box_err = float(np.abs(np.where(ref[3][..., None], ref[0] - got[0], 0)).max())
-    print("detections: same valid set =", same_valid, " max box delta =", box_err)
+    # detections are score-sorted; near-equal scores may swap slots between
+    # numerically-reassociated graphs — compare as SETS per image
+    worst = 0.0
+    for i in range(batch):
+        rb = np.asarray(sorted(map(tuple, ref[0][i][ref[3][i]])))
+        gb = np.asarray(sorted(map(tuple, got[0][i][got[3][i]])))
+        if len(rb):
+            worst = max(worst, float(np.abs(rb - gb).max()))
+    print("detections: same valid set =", same_valid,
+          " max sorted-box delta =", worst)
 
     def reduced(fn):
         return lambda p, f: sum(jnp.sum(t.astype(jnp.float32)) for t in fn(p, f)[:4])
@@ -64,14 +72,21 @@ def main():
     timed = {k: jax.jit(reduced(lambda p, f, k=k: fns[k](p, f))) for k in fns}
     for k in timed:
         _sync(timed[k](params, frames))
+    # amortized queued timing: per-step device_get sync costs a full tunnel
+    # round trip (~40 ms) that swamps a ~10 ms graph; queue a block of steps
+    # and sync once (device stream is FIFO), interleaving engine blocks
+    queue = 10
     times = {k: [] for k in timed}
     for _ in range(iters):
         for k, fn in timed.items():
             t0 = time.perf_counter()
-            _sync(fn(params, frames))
-            times[k].append((time.perf_counter() - t0) * 1000)
+            out = None
+            for _ in range(queue):
+                out = fn(params, frames)
+            _sync(out)
+            times[k].append((time.perf_counter() - t0) * 1000 / queue)
     for k, ts in times.items():
-        print("%-8s: median %7.2f ms/batch-%d  (all: %s)"
+        print("%-8s: median %7.2f ms/batch-%d queued-amortized (all: %s)"
               % ("s2d" if k else "standard", float(np.median(ts)), batch,
                  " ".join("%.1f" % t for t in ts)))
 

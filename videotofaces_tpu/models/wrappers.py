@@ -126,12 +126,17 @@ class YoloDetector(_BoxDetectorBase):
 
     def __init__(self, device=None, checkpoint="yolov3_wider", max_side=608,
                  batch_size=None, params=None, mesh=None, host_resize=False,
-                 bf16=False):
+                 bf16=False, s2d=None):
         print("Initializing YOLOv3 model for live-action face detection")
         del device  # jax manages placement
         self.mesh = mesh
         self.host_resize = host_resize  # cv2 fixed-point resize (bit parity)
         self.compute_dtype = jnp.bfloat16 if bf16 else None
+        # space-to-depth stem (models/yolo.py::s2d_stem): same taps, better
+        # MXU blocking; interleaved A/B 11.34 -> 10.61 ms/batch-8 1080p.
+        # Default on in bf16 throughput mode; parity mode keeps the module
+        # graph (reassociated accumulation can flip borderline detections)
+        self.s2d = bf16 if s2d is None else s2d
         self.model = Y.YOLOv3(num_classes=1)
         self.max_side = max_side
         self.batch_size = batch_size
@@ -153,7 +158,7 @@ class YoloDetector(_BoxDetectorBase):
                 resized_hw=(nh, nw), canvas_hw=canvas,
                 priors=jnp.asarray(priors), strides=jnp.asarray(strides),
                 orig_hw=(h, w) if self.host_resize else None,
-                compute_dtype=self.compute_dtype), self.mesh)
+                compute_dtype=self.compute_dtype, s2d=self.s2d), self.mesh)
             self._cache[key] = fn
         return self._cache[key]
 
