@@ -74,6 +74,9 @@ def pnet_s2d_head(pnet_params, x):
     k1 = pnet_params["conv1"]["conv"]["kernel"]       # [3, 3, 3, 10]
     b1 = pnet_params["conv1"]["conv"]["bias"]
     alpha = pnet_params["conv1"]["prelu"]["alpha"]
+    # match flax nn.Conv's dtype promotion for mixed param/input dtypes
+    dt = jnp.promote_types(x.dtype, k1.dtype)
+    x, k1, b1, alpha = (t.astype(dt) for t in (x, k1, b1, alpha))
     b, sh, sw, _ = x.shape
     hv, wv = sh - 2, sw - 2                           # VALID conv1 output size
     she, swe = sh + (sh % 2), sw + (sw % 2)

@@ -162,6 +162,9 @@ def s2d_stem(backbone_params, x):
     prec = config.get_precision()
     k1 = backbone_params["conv1"]["conv"]["kernel"]          # [3, 3, 3, 32]
     k0 = backbone_params["stage0_down"]["conv"]["kernel"]    # [3, 3, 32, 64]
+    # match flax nn.Conv's dtype promotion for mixed param/input dtypes
+    dt = jnp.promote_types(x.dtype, k1.dtype)
+    x, k1, k0 = x.astype(dt), k1.astype(dt), k0.astype(dt)
     b, h, w, _ = x.shape
     assert h % 2 == 0 and w % 2 == 0, (h, w)
     s2d = x.reshape(b, h // 2, 2, w // 2, 2, 3)
