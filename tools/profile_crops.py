@@ -52,14 +52,20 @@ def main():
         _sync(fns[engine](params, frames))
         _sync(fns[engine](params, frames))
 
+    # queued-amortized: one device_get sync per block of 3 steps (a per-step
+    # sync costs a ~40 ms tunnel round trip on top of the graph time)
+    queue = 3
     times = {k: [] for k in fns}
     for _ in range(iters):
         for k, fn in fns.items():
             t0 = time.perf_counter()
-            _sync(fn(params, frames))
-            times[k].append((time.perf_counter() - t0) * 1000)
+            out = None
+            for _ in range(queue):
+                out = fn(params, frames)
+            _sync(out)
+            times[k].append((time.perf_counter() - t0) * 1000 / queue)
     for k, ts in times.items():
-        print("%-8s: median %7.2f ms/batch-%d  (all: %s)"
+        print("%-8s: median %7.2f ms/batch-%d queued-amortized (all: %s)"
               % (k, float(np.median(ts)), batch,
                  " ".join("%.1f" % t for t in ts)))
 
