@@ -256,7 +256,7 @@ def _select_topk(scores, keep, k, *arrays):
 
 def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                  thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None,
-                 crop_engine=None):
+                 crop_engine=None, pnet_s2d=False):
     """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
     [B, out, 5, 2], valid, counts) — counts are true candidate totals per
     stage for host-side overflow detection.
@@ -286,7 +286,14 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             _normalize(frames_u8[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2)))
 
     fast = config.get_precision_name() == "default"
-    pnet = PNet(from_pool1=fast)
+    # pnet_s2d (pnet_s2d_head) is tap-identical and 13x better on lane
+    # utilization in isolation, but MEASURED AND REJECTED as the default:
+    # the s2d transpose breaks XLA's fusion of the integral-image pyramid
+    # pooling into conv1, and the full cascade REGRESSES 244 -> 303
+    # ms/batch-2 1080p minsize-5 (the same failure mode as round 2's
+    # matmul-pooling rejection, docs/ROADMAP.md). Kept opt-in for setups
+    # where the pyramid is precomputed.
+    pnet = PNet(from_pool1=pnet_s2d)
     counts = {}
 
     # ---- stage 1: proposal network over the pyramid -------------------------
@@ -298,9 +305,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
         if compute_dtype is not None:
             level = level.astype(compute_dtype)
-        if fast:
-            # conv1+pool1 via the space-to-depth head (identical taps at
-            # 13x the lane utilization and quarter area)
+        if pnet_s2d:
             level = pnet_s2d_head(params["pnet"], level)
         reg, prob = pnet.apply({"params": params["pnet"]}, level)
         reg, prob = reg.astype(jnp.float32), prob.astype(jnp.float32)
