@@ -251,12 +251,18 @@ def bench_pipeline_at_device_rate(n_frames=N_SLOW, batch_size=8):
     k[0] = 0
     out = tempfile.mkdtemp()
     try:
+        from videotofaces_tpu.utils.profiling import StageTimer
+
         layout = OutputLayout(out)
         layout.prepare_dirs(True)
+        timer = StageTimer()
         t0 = time.perf_counter()
         process_stream(_Replay(batches), len(indices), det, criteria,
-                       layout, hash_thr=8)
-        return len(indices) / (time.perf_counter() - t0)
+                       layout, hash_thr=8, timer=timer)
+        fps = len(indices) / (time.perf_counter() - t0)
+        print("pipeline-at-device-rate stage breakdown (%d frames):\n%s"
+              % (len(indices), timer.summary()), file=sys.stderr)
+        return fps
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
