@@ -17,6 +17,7 @@ capture a jax.profiler device trace.
 
 import os
 import os.path as osp
+from collections import deque
 
 import numpy as np
 
@@ -160,7 +161,17 @@ def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=No
     names, hashes = [], []
     pbar = tqdm(total=n_frames)
     can_pipeline = hasattr(model, "submit")
-    inflight = None  # (handle, frames, indices): batch the device is working on
+    prefetch = getattr(model, "prefetch", None)
+    # In-flight queue depth: how many submitted batches ride ahead of the
+    # collect point. Each submit also starts async D2H copies of its results
+    # (wrappers.prefetch_handle), so by the time a batch reaches the head of
+    # the queue its bytes have already landed and collect() doesn't stall on
+    # the D2H round trip. Depth 8 measured at device-graph rate on the dev
+    # tunnel (8.1 ms/batch-8 vs 64.5 at depth 1, tools/profile_pipeline.py);
+    # host memory held is depth batches of decoded frames (~50 MB per
+    # batch-8 of 1080p).
+    depth = int(os.environ.get("V2F_PIPELINE_DEPTH", "8"))
+    inflight = deque()  # (handle, frames, indices) awaiting collect
     with AsyncImageWriter() as writer:
 
         def finish(inflight):
@@ -192,15 +203,18 @@ def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=No
                 names.extend(batch_names)
                 pbar.update(len(bi))
                 continue
-            # software pipelining: dispatch batch i, then post-process batch
-            # i-1 on the host while the device runs
+            # software pipelining: dispatch batch i (and start async D2H of
+            # its results), then post-process batch i-depth on the host while
+            # the device runs and older results stream back
             with timer.stage("detect:submit", items=len(bi)):
                 handle = model.submit(frames)
-            if inflight is not None:
-                hashes = finish(inflight)
-            inflight = (handle, frames, bi)
-        if inflight is not None:
-            hashes = finish(inflight)
+                if prefetch is not None:
+                    prefetch(handle)
+            inflight.append((handle, frames, bi))
+            if len(inflight) > depth:
+                hashes = finish(inflight.popleft())
+        while inflight:
+            hashes = finish(inflight.popleft())
     pbar.close()
     return names, [h for (h, _) in hashes]
 
