@@ -163,6 +163,88 @@ def test_pnet_s2d_head_matches_standard(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_pnet_packed_pool_stem_matches_standard(rng):
+    """Packed-layout pyramid pooling + packed conv1 head (pnet_stem="packed")
+    reproduces the module's pool1 map, including odd level sizes (phantom
+    phases in the packed input must only feed masked outputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.ops.resize import (adaptive_pool_full,
+                                             adaptive_pool_full_s2d2,
+                                             integral_image)
+
+    params = M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"]
+    frames = jnp.asarray(rng.integers(0, 255, size=(2, 80, 100, 3)).astype(np.uint8))
+    ii = integral_image(frames[..., ::-1])
+    for sh, sw in [(40, 50), (41, 53), (97, 121), (120, 150)]:
+        level = M._normalize(adaptive_pool_full(ii, (sh, sw), (80, 100)))
+        want = M.PNet(to_pool1=True).apply({"params": params}, level)
+        packed = M._normalize(adaptive_pool_full_s2d2(ii, (sh, sw), (80, 100)))
+        got = M.pnet_s2d_head(params, packed, packed_hw=(sh, sw))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pnet_s2d_tail_matches_module(rng):
+    """The space-to-depth-2 packed conv2/conv3/heads tail is tap-identical to
+    the module path on the same pool1 map, including odd pool1 sizes (phantom
+    phase rows/cols must be sliced, not leak)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"]
+    for sh, sw in [(12, 12), (13, 17), (24, 31), (27, 26)]:
+        x = jnp.asarray(rng.normal(0, 0.5, size=(2, sh, sw, 3)).astype(np.float32))
+        want_reg, want_prob = M.PNet().apply({"params": params}, x)
+        pool1 = M.PNet(to_pool1=True).apply({"params": params}, x)
+        got_reg, got_prob = M.pnet_s2d_tail(params, pool1)
+        assert got_prob.shape == want_prob.shape
+        np.testing.assert_allclose(np.asarray(got_prob), np.asarray(want_prob),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_reg), np.asarray(want_reg),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_cascade_s2d_tail_matches_module_path(rng):
+    """Full cascade with pnet_tail='s2d' reproduces the module path's
+    detections (same valid set, boxes/scores to accumulation tolerance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, 64, 96, 3)).astype(np.uint8))
+
+    ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                         crop_engine="gather", pnet_stem="module",
+                         pnet_tail="module")
+    assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+    v = np.asarray(ref[3])
+    for stem, tail in [("module", "s2d"), ("packed", "module"),
+                       ("packed", "s2d")]:
+        got = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", pnet_stem=stem,
+                             pnet_tail=tail)
+        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+        np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_cascade_pallas_crop_engine_matches_gather(rng):
     """Full cascade with the pallas crop engine (interpret mode on CPU) must
     reproduce the gather engine's detections: same valid set, same boxes and

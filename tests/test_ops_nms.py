@@ -78,3 +78,24 @@ def test_nms_all_invalid():
     v = jnp.zeros((8,), dtype=bool)
     keep = np.asarray(N.nms_keep_mask(b, s, v, 0.5))
     assert not keep.any()
+
+
+def test_bucketed_nms_exact_both_branches(rng):
+    """nms_keep_mask_bucketed == per-image nms_keep_mask on [B, K] buffers,
+    whether the batch-max valid count fits the bucket (small branch) or
+    exceeds it (full-capacity branch)."""
+    for counts in ([5, 0, 17], [5, 300, 17]):  # fits / exceeds bucket=256
+        k = 512
+        bs, ss, vs = [], [], []
+        for n in counts:
+            boxes = random_boxes(rng, max(n, 1), lim=120)[:n]
+            scores = rng.uniform(0.1, 1.0, size=n).astype(np.float32)
+            b, s, v = _pad(boxes, scores, k)
+            bs.append(b), ss.append(s), vs.append(v)
+        b = jnp.stack(bs)
+        s = jnp.stack(ss)
+        v = jnp.stack(vs)
+        got = np.asarray(N.nms_keep_mask_bucketed(b, s, v, 0.5, bucket=256))
+        for i in range(len(counts)):
+            want = np.asarray(N.nms_keep_mask(b[i], s[i], v[i], 0.5))
+            np.testing.assert_array_equal(got[i], want)

@@ -64,3 +64,23 @@ def test_integral_adaptive_pool_boxes_exact(rng):
         crop = frames[0, y1:y2, x1:x2].astype(np.float64)
         want = oracles.np_adaptive_avg_pool(crop, (24, 24))
         np.testing.assert_allclose(got[k], want, rtol=1e-6, atol=1e-4)
+
+
+def test_adaptive_pool_full_s2d2_matches_unpacked(rng):
+    """The packed-layout pyramid pool equals adaptive_pool_full rearranged
+    into space-to-depth-2 blocks, for even and odd output sizes (phantom
+    odd-edge phases excluded — their values are unspecified)."""
+    frames = rng.integers(0, 256, size=(2, 90, 130, 3)).astype(np.uint8)
+    ii = R.integral_image(jnp.asarray(frames))
+    for oh, ow in [(45, 65), (44, 64), (123, 177), (216, 312)]:
+        ref = np.asarray(R.adaptive_pool_full(ii, (oh, ow), (90, 130)))
+        got = np.asarray(R.adaptive_pool_full_s2d2(ii, (oh, ow), (90, 130)))
+        assert got.shape == (2, -(-oh // 2), -(-ow // 2), 12)
+        for pr in (0, 1):
+            for pc in (0, 1):
+                g = got[..., (pr * 2 + pc) * 3:(pr * 2 + pc) * 3 + 3]
+                # real phase positions only
+                nr = (oh - pr + 1) // 2
+                nc = (ow - pc + 1) // 2
+                want = ref[:, pr::2, pc::2][:, :nr, :nc]
+                np.testing.assert_allclose(g[:, :nr, :nc], want, rtol=1e-6, atol=1e-5)

@@ -107,10 +107,42 @@ def main(batch=2, h=720, w=1280):
         idx, ov = jax.vmap(lambda ss, kk: topk_by_score(ss, kk, lvtop))(obj2, keep)
         return jnp.take_along_axis(boxes2, idx[..., None], axis=1).sum(), ov.sum()
 
+    def s3c(regs, logs, t=256):
+        # two-pass candidate: NMS only the per-level top-t (slots are already
+        # score-descending), drop ranks >= t with a counted displacement risk
+        boxes, obj, valid = _stack(sel_topk, regs, logs)
+        b, nl = boxes.shape[:2]
+        flat = lambda a: a.reshape((b * nl,) + a.shape[2:])
+        keep = jax.vmap(lambda bb, ss, vv: nms_keep_mask(
+            bb, ss, vv, 0.7, presorted=True))(
+            flat(boxes)[:, :t], flat(obj)[:, :t], flat(valid)[:, :t])
+        return keep.sum()
+
+    def s4c(regs, logs, t=256):
+        boxes, obj, valid = _stack(sel_topk, regs, logs)
+        b, nl = boxes.shape[:2]
+        flat = lambda a: a.reshape((b * nl,) + a.shape[2:])
+        keep = jax.vmap(lambda bb, ss, vv: nms_keep_mask(
+            bb, ss, vv, 0.7, presorted=True))(
+            flat(boxes)[:, :t], flat(obj)[:, :t], flat(valid)[:, :t])
+        keep = keep.reshape(b, nl, t)
+        obj_c = obj[:, :, :t].reshape(b, nl * t)
+        boxes_c = boxes[:, :, :t].reshape(b, nl * t, 4)
+        idx, ov = jax.vmap(lambda ss, kk: topk_by_score(ss, kk, lvtop))(
+            obj_c, keep.reshape(b, nl * t))
+        sel = jnp.take_along_axis(obj_c, idx, axis=1)
+        cutoff = jnp.min(jnp.where(ov, sel, jnp.inf), axis=1)      # [B]
+        # displacement risk: valid rank>=t candidates scoring above cutoff
+        risk = jnp.sum((obj[:, :, t:] > cutoff[:, None, None])
+                       & valid[:, :, t:], axis=(1, 2))
+        return jnp.take_along_axis(boxes_c, idx[..., None], axis=1).sum(), risk
+
     for name, fn in [("S1:topk+decode", s1), ("S1b:block-select", s1b),
                      ("S2:+clamp", s2), ("S3:+nms", s3),
                      ("S3b:block+nms", lambda r, l: s3(r, l, sel_block)),
-                     ("S4:full(topk)", s4), ("S4b:full(block)", s4b)]:
+                     ("S3c:+nms@256", s3c),
+                     ("S4:full(topk)", s4), ("S4b:full(block)", s4b),
+                     ("S4c:full(2pass)", s4c)]:
         jfn = jax.jit(fn)
         _sync(jfn(regs, logs))
         _sync(jfn(regs, logs))

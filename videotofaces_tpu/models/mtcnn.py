@@ -28,10 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.nms import iom_chain_suppress, nms_keep_mask, topk_by_score
+from ..ops.nms import (iom_chain_suppress, nms_keep_mask,
+                        nms_keep_mask_bucketed, topk_by_score)
 from ..ops.select import block_topk_select
 from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_chw
-from ..ops.resize import adaptive_pool_boxes_batched, adaptive_pool_full, integral_image
+from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
+                          adaptive_pool_full_s2d2, integral_image)
 from .. import config
 from .layers import ConvUnit, PReLU, max_pool2d
 
@@ -46,15 +48,21 @@ class PNet(nn.Module):
     ``from_pool1``: input is already the pool1 output (the space-to-depth
     stem ``pnet_s2d_head`` computed conv1+prelu1+pool1 outside the module —
     conv1's 3 input channels waste 125/128 MXU lanes at full pyramid area,
-    the dominant cost at min_face_size=5)."""
+    the dominant cost at min_face_size=5).
+
+    ``to_pool1``: stop after conv1+prelu1+pool1 and return that map (the
+    throughput path runs conv2..heads via ``pnet_s2d_tail`` instead)."""
 
     from_pool1: bool = False
+    to_pool1: bool = False
 
     @nn.compact
     def __call__(self, x):
         if not self.from_pool1:
             x = _pconv(10, 3, "conv1")(x)
             x = max_pool2d(x, 2, 2, ceil_mode=True)
+            if self.to_pool1:
+                return x
         x = _pconv(16, 3, "conv2")(x)
         x = _pconv(32, 3, "conv3")(x)
         prec = config.get_precision()
@@ -63,12 +71,19 @@ class PNet(nn.Module):
         return reg, prob
 
 
-def pnet_s2d_head(pnet_params, x):
+def pnet_s2d_head(pnet_params, x, packed_hw=None):
     """conv1 (3x3 VALID, 3->10) + PReLU + ceil 2x2 s2 maxpool via space-to-
     depth: the packed conv contracts 12 -> 40 channels at quarter area
     (identical taps), and the stride-2 pool collapses to a masked max over
     the 4 phase groups — the full-resolution 10-channel map is never
     materialized. Returns pool1's output [B, ceil((H-2)/2), ceil((W-2)/2), 10].
+
+    ``packed_hw``: when given, ``x`` is ALREADY phase-packed
+    [B, ceil(H/2), ceil(W/2), 12] (ops/resize.py::adaptive_pool_full_s2d2 —
+    the pyramid pooling emits this layout straight from its gather indices)
+    and ``packed_hw`` is the true unpacked (H, W). Phantom odd-edge phases in
+    the packed input only ever feed masked outputs, so their values are
+    irrelevant.
     """
     prec = config.get_precision()
     k1 = pnet_params["conv1"]["conv"]["kernel"]       # [3, 3, 3, 10]
@@ -77,12 +92,16 @@ def pnet_s2d_head(pnet_params, x):
     # match flax nn.Conv's dtype promotion for mixed param/input dtypes
     dt = jnp.promote_types(x.dtype, k1.dtype)
     x, k1, b1, alpha = (t.astype(dt) for t in (x, k1, b1, alpha))
-    b, sh, sw, _ = x.shape
+    if packed_hw is None:
+        b, sh, sw, _ = x.shape
+        she, swe = sh + (sh % 2), sw + (sw % 2)
+        x = jnp.pad(x, ((0, 0), (0, she - sh), (0, swe - sw), (0, 0)))
+        s2d = x.reshape(b, she // 2, 2, swe // 2, 2, 3)
+        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, she // 2, swe // 2, 12)
+    else:
+        b, sh, sw = x.shape[0], packed_hw[0], packed_hw[1]
+        s2d = x
     hv, wv = sh - 2, sw - 2                           # VALID conv1 output size
-    she, swe = sh + (sh % 2), sw + (sw % 2)
-    x = jnp.pad(x, ((0, 0), (0, she - sh), (0, swe - sw), (0, 0)))
-    s2d = x.reshape(b, she // 2, 2, swe // 2, 2, 3)
-    s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, she // 2, swe // 2, 12)
 
     w2 = jnp.zeros((2, 2, 12, 40), k1.dtype)
     for pi in (0, 1):
@@ -119,6 +138,87 @@ def pnet_s2d_head(pnet_params, x):
     p10 = jnp.where(rows1[..., None], ph[..., 1, 0, :], neg)
     p11 = jnp.where((rows1 & cols1)[..., None], ph[..., 1, 1, :], neg)
     return jnp.maximum(jnp.maximum(p00, p01), jnp.maximum(p10, p11))
+
+
+def _pack_s2d_conv(k, cin, cout):
+    """Pack a 3x3 VALID conv (cin -> cout) into its space-to-depth-2 form: a
+    2x2 VALID conv over [.., 4*cin] phase-packed maps producing [.., 4*cout]
+    phase-packed maps (channel layout (phase_row*2+phase_col)*C + c). Taps are
+    placed, never changed — the packed conv computes the identical sums, with
+    7/16 of the packed weight zero (the FLOP overhead that buys full-lane
+    contraction dims: conv2 K=160/N=64, conv3 K=256/N=128, vs the unpacked
+    K=90/N=16 and K=144/N=32 that run PNet at ~1.7 TFLOP/s)."""
+    w = jnp.zeros((2, 2, 4 * cin, 4 * cout), k.dtype)
+    for a in (0, 1):
+        for bb in (0, 1):
+            for dy in range(3):
+                for dx in range(3):
+                    r, pr = divmod(a + dy, 2)
+                    s, pc = divmod(bb + dx, 2)
+                    gi = (pr * 2 + pc) * cin
+                    go = (a * 2 + bb) * cout
+                    w = w.at[r, s, gi:gi + cin, go:go + cout].set(k[dy, dx])
+    return w
+
+
+def _unpack_s2d(y, ph, pw):
+    """[B, nh, nw, 4*C] phase-packed -> [B, ph, pw, C] (phantom rows/cols from
+    even-padding are sliced away)."""
+    b, nh, nw, c4 = y.shape
+    c = c4 // 4
+    y = y.reshape(b, nh, nw, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * nh, 2 * nw, c)[:, :ph, :pw]
+
+
+def pnet_s2d_tail(pnet_params, pool1):
+    """conv2 + conv3 (+PReLUs) + cls/reg heads in space-to-depth-2 packed
+    form, from the pool1 map. Returns (reg [B, ph, pw, 4], prob [B, ph, pw])
+    with ph = P-4, pw = Q-4 — same taps as the module path (unit-tested),
+    different accumulation order.
+
+    Why: PNet's 10->16 and 16->32 convs are ~82% of its FLOPs and run lane-
+    starved (N=16/32 of 128). Packing AFTER pool1 keeps the integral-image
+    pyramid pooling fused into conv1 (transposing conv1's input is what
+    regressed the cascade when ``pnet_s2d_head`` was measured, docs/ROADMAP),
+    and the transpose here touches a quarter-area 10-channel map instead."""
+    prec = config.get_precision()
+    p = pnet_params
+    k2 = p["conv2"]["conv"]["kernel"]             # [3, 3, 10, 16]
+    k3 = p["conv3"]["conv"]["kernel"]             # [3, 3, 16, 32]
+    kc = p["cls"]["kernel"]                       # [1, 1, 32, 2]
+    kr = p["reg"]["kernel"]                       # [1, 1, 32, 4]
+    dt = jnp.promote_types(pool1.dtype, k2.dtype)
+    pool1 = pool1.astype(dt)
+
+    b, P, Q = pool1.shape[:3]
+    ph, pw = P - 4, Q - 4
+    pe, qe = P + (P % 2), Q + (Q % 2)
+    x = jnp.pad(pool1, ((0, 0), (0, pe - P), (0, qe - Q), (0, 0)))
+    x = x.reshape(b, pe // 2, 2, qe // 2, 2, 10)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, pe // 2, qe // 2, 40)
+
+    def packed_pconv(x, name, cin, cout):
+        w = _pack_s2d_conv(p[name]["conv"]["kernel"].astype(dt), cin, cout)
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+        y = y + jnp.tile(p[name]["conv"]["bias"].astype(dt), 4)
+        al = jnp.tile(p[name]["prelu"]["alpha"].astype(dt), 4)
+        return jnp.maximum(y, 0) + al * jnp.minimum(y, 0)
+
+    x = packed_pconv(x, "conv2", 10, 16)
+    x = packed_pconv(x, "conv3", 16, 32)
+
+    # 1x1 heads on packed maps: block-diagonal weights, one matmul each
+    wc = jax.scipy.linalg.block_diag(*([kc[0, 0].astype(dt)] * 4))  # [128, 8]
+    wr = jax.scipy.linalg.block_diag(*([kr[0, 0].astype(dt)] * 4))  # [128, 16]
+    cls = jnp.dot(x, wc, precision=prec) + jnp.tile(p["cls"]["bias"].astype(dt), 4)
+    reg = jnp.dot(x, wr, precision=prec) + jnp.tile(p["reg"]["bias"].astype(dt), 4)
+    nh, nw = cls.shape[1:3]
+    prob = jax.nn.softmax(cls.reshape(b, nh, nw, 4, 2), axis=-1)[..., 1]
+    prob = _unpack_s2d(prob, ph, pw)[..., 0]
+    reg = _unpack_s2d(reg, ph, pw)
+    return reg, prob
 
 
 def _flatten_whc(x):
@@ -240,7 +340,9 @@ def _crop_windows(boxes, img_hw):
 
 
 def _per_image_nms(boxes, scores, valid, thr):
-    return jax.vmap(lambda b, s, v: nms_keep_mask(b, s, v, thr))(boxes, scores, valid)
+    # bucketed: quiet batches (the common case) run [256, 256] NMS problems
+    # instead of capacity-sized ones — exact either way (ops/nms.py)
+    return nms_keep_mask_bucketed(boxes, scores, valid, thr)
 
 
 def _select_topk(scores, keep, k, *arrays):
@@ -256,7 +358,8 @@ def _select_topk(scores, keep, k, *arrays):
 
 def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                  thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None,
-                 crop_engine=None, pnet_s2d=False):
+                 crop_engine=None, pnet_s2d=False, pnet_tail=None,
+                 pnet_stem=None):
     """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
     [B, out, 5, 2], valid, counts) — counts are true candidate totals per
     stage for host-side overflow detection.
@@ -274,6 +377,24 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
       and is surfaced in counts["stage{2,3}_crop_dropped"];
     - ``"pallas-interpret"``: same path in pallas interpret mode (CPU tests);
     - None: "pallas" on TPU, "gather" elsewhere.
+
+    ``pnet_stem`` / ``pnet_tail`` select how PNet runs per pyramid level
+    (tap-identical alternatives, different accumulation order; unit-tested
+    against the module):
+
+    - stem "module": conv1+prelu+pool1 via the flax module (parity path);
+      stem "s2d": ``pnet_s2d_head`` on the unpacked level (packed conv at
+      quarter area — but the s2d transpose breaks pooling->conv1 fusion);
+      stem "packed": the pyramid pooling itself emits the s2d layout
+      (``adaptive_pool_full_s2d2`` — pack lives in the gather indices, no
+      transpose, full-res maps never exist) feeding ``pnet_s2d_head``.
+    - tail "module": conv2..heads via the module; tail "s2d":
+      ``pnet_s2d_tail`` packed convs.
+
+    None = measured-best for the precision mode (parity mode always runs
+    module/module; throughput-mode defaults follow the on-chip A/Bs in
+    docs/ROADMAP.md). ``pnet_s2d=True`` is the deprecated alias for
+    ``pnet_stem="s2d"``.
     """
     b, h, w = frames_u8.shape[:3]
     t1, t2, t3 = thresholds
@@ -286,14 +407,14 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             _normalize(frames_u8[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2)))
 
     fast = config.get_precision_name() == "default"
-    # pnet_s2d (pnet_s2d_head) is tap-identical and 13x better on lane
-    # utilization in isolation, but MEASURED AND REJECTED as the default:
-    # the s2d transpose breaks XLA's fusion of the integral-image pyramid
-    # pooling into conv1, and the full cascade REGRESSES 244 -> 303
-    # ms/batch-2 1080p minsize-5 (the same failure mode as round 2's
-    # matmul-pooling rejection, docs/ROADMAP.md). Kept opt-in for setups
-    # where the pyramid is precomputed.
-    pnet = PNet(from_pool1=pnet_s2d)
+    if pnet_stem is None:
+        # measured-best (tools/profile_pnet_tail.py, production bf16-param
+        # trim, batch-2 1080p minsize-5, interleaved): packed+s2d 156.5 ms
+        # < module+module 161.5 < module+s2d 163.9 < packed+module 166.6;
+        # the unpacked s2d stem stays rejected (284.3, fusion loss).
+        pnet_stem = "s2d" if pnet_s2d else ("packed" if fast else "module")
+    if pnet_tail is None:
+        pnet_tail = "s2d" if (fast and pnet_stem == "packed") else "module"
     counts = {}
 
     # ---- stage 1: proposal network over the pyramid -------------------------
@@ -302,12 +423,23 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     scale_max = jnp.zeros((b,), jnp.int32)        # per-scale candidate peak
     select_overflow = jnp.zeros((b,), jnp.int32)  # block-select truncation risk
     for sc, (sh, sw) in zip(scales, sizes):
-        level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
-        if compute_dtype is not None:
-            level = level.astype(compute_dtype)
-        if pnet_s2d:
-            level = pnet_s2d_head(params["pnet"], level)
-        reg, prob = pnet.apply({"params": params["pnet"]}, level)
+        if pnet_stem == "packed":
+            packed = _normalize(adaptive_pool_full_s2d2(ii, (sh, sw), (h, w)))
+            if compute_dtype is not None:
+                packed = packed.astype(compute_dtype)
+            pool1 = pnet_s2d_head(params["pnet"], packed, packed_hw=(sh, sw))
+        else:
+            level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
+            if compute_dtype is not None:
+                level = level.astype(compute_dtype)
+            if pnet_stem == "s2d":
+                pool1 = pnet_s2d_head(params["pnet"], level)
+            else:
+                pool1 = PNet(to_pool1=True).apply({"params": params["pnet"]}, level)
+        if pnet_tail == "s2d":
+            reg, prob = pnet_s2d_tail(params["pnet"], pool1)
+        else:
+            reg, prob = PNet(from_pool1=True).apply({"params": params["pnet"]}, pool1)
         reg, prob = reg.astype(jnp.float32), prob.astype(jnp.float32)
         ph, pw = prob.shape[1:3]
         d = ph * pw

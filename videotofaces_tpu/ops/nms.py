@@ -12,6 +12,7 @@ different rule — a candidate is suppressed if *any* earlier candidate (kept or
 not) overlaps it — which is a pure matrix expression with no sequential loop.
 """
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -64,6 +65,45 @@ def nms_keep_mask(boxes, scores, valid, iou_thr, group_ids=None, plus_one=False,
     if presorted:
         return keep_sorted
     return jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)
+
+
+def nms_keep_mask_bucketed(boxes, scores, valid, iou_thr, bucket=256,
+                           plus_one=False, mode="iou"):
+    """Batched ``nms_keep_mask`` ([B, K] buffers) that routes the whole batch
+    through a [bucket, bucket] problem whenever every image's valid count
+    fits — EXACT results either way (identical stable sort, so identical tie
+    order; sorted slots beyond the valid count are -inf and can never be
+    kept).
+
+    Why: fixed-capacity NMS pays for the [K, K] IoU matrix and fixpoint
+    sweeps at CAPACITY, not at the real candidate count — e.g. MTCNN's
+    per-scale stage-1 NMS runs 16 x [1024, 1024] matrices per image at
+    min_face_size=5 while typical frames have a handful of candidates per
+    scale. The batch-max valid count is a scalar, so one lax.cond picks the
+    small graph for quiet batches (a vmapped cond would execute both
+    branches)."""
+    b, k = scores.shape
+    masked = jnp.where(valid, scores, -jnp.inf)
+
+    def run(bb, vv):
+        return jax.vmap(lambda x, v: nms_keep_mask(
+            x, None, v, iou_thr, plus_one=plus_one, mode=mode,
+            presorted=True))(bb, vv)
+
+    if k <= bucket:
+        return jax.vmap(lambda x, s, v: nms_keep_mask(
+            x, s, v, iou_thr, plus_one=plus_one, mode=mode))(boxes, scores, valid)
+    order = jnp.argsort(-masked, axis=1)  # stable — nms_keep_mask's own sort
+    sb = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    sv = jnp.take_along_axis(valid, order, axis=1)
+    maxc = jnp.max(jnp.sum(valid, axis=1))
+    keep_sorted = lax.cond(
+        maxc <= bucket,
+        lambda: jnp.pad(run(sb[:, :bucket], sv[:, :bucket]),
+                        ((0, 0), (0, k - bucket))),
+        lambda: run(sb, sv))
+    return jnp.zeros_like(valid).at[
+        jnp.arange(b)[:, None], order].set(keep_sorted)
 
 
 def iom_chain_suppress(boxes, scores, valid, iom_thr, group_ids=None, plus_one=True):

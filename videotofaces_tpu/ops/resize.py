@@ -100,6 +100,46 @@ def adaptive_pool_full(ii, out_hw, true_hw):
     return sums.astype(jnp.float32) / area[..., None]
 
 
+def adaptive_pool_full_s2d2(ii, out_hw, true_hw):
+    """``adaptive_pool_full`` emitting the space-to-depth-2 packed layout
+    directly: [B, ceil(oh/2), ceil(ow/2), 4*C] with channel layout
+    (phase_row*2 + phase_col)*C + c — i.e. packed[b, i, j, (pr*2+pc)*C+c]
+    == pool[b, 2i+pr, 2j+pc, c].
+
+    The point: a packed conv1 (models/mtcnn.py::pnet_s2d_head) consuming
+    this never needs the unpacked full-resolution level — the pack happens
+    in the GATHER INDICES, so there is no transpose between the pyramid
+    pooling and the conv to break XLA's fusion (the failure mode that
+    rejected the s2d head when fed from the standard pooling).
+
+    Phantom rows/cols (odd oh/ow) repeat the last real index; consumers must
+    mask phases beyond (oh, ow) — pnet_s2d_head's pool-phase masks already
+    never read them for real outputs."""
+    h, w = true_hw
+    oh, ow = out_hw
+    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
+    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+
+    def phase(idx, n):
+        p = idx[n::2]
+        if len(p) < (len(idx) + 1) // 2:
+            p = np.concatenate([p, p[-1:]])
+        return p
+
+    outs = []
+    for pr in (0, 1):
+        yep, ysp = phase(ye, pr), phase(ys, pr)
+        rows = jnp.take(ii, yep, axis=-3) - jnp.take(ii, ysp, axis=-3)
+        for pc in (0, 1):
+            xep, xsp = phase(xe, pc), phase(xs, pc)
+            sums = jnp.take(rows, xep, axis=-2) - jnp.take(rows, xsp, axis=-2)
+            area = ((yep - ysp)[:, None] * (xep - xsp)[None, :]).astype(np.float32)
+            outs.append(sums.astype(jnp.float32) / jnp.maximum(area, 1.0)[..., None])
+    return jnp.concatenate(outs, axis=-1)
+
+
 def adaptive_pool_boxes_batched(ii, boxes_xyxy, imgidx, out_size):
     """``adaptive_pool_boxes`` over a batch of integral images.
 
