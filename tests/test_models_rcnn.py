@@ -141,3 +141,64 @@ def test_rcnn_spec_structure():
 
     assert paths_of(body_spec) == set(W.flatten(jax.tree.map(np.asarray, bp)))
     assert paths_of(head_spec) == set(W.flatten(jax.tree.map(np.asarray, hp)))
+
+
+def test_rpn_two_pass_nms_exact_when_levels_fit(rng):
+    """Throughput-mode two-pass NMS (lvtop > 256 engages it) must reproduce
+    the parity-mode full NMS when every level has <= 256 candidates — the
+    dropped-tail approximation only ever touches ranks >= 256."""
+    from videotofaces_tpu import config
+
+    canvas = (32, 32)  # P2 at stride 4: 8*8*3 = 192 anchors < 256
+    priors = get_priors(canvas, R.frcnn_bases(), loc="corner", concat=False)
+    b = 2
+    regs, logs = [], []
+    for p in priors:
+        d = p.shape[0]
+        assert d <= 256
+        regs.append(rng.normal(0, 0.2, size=(b, d, 4)).astype(np.float32))
+        logs.append(rng.normal(-1, 1.5, size=(b, d)).astype(np.float32))
+    used = np.asarray([[32.0, 32.0], [30.0, 28.0]], np.float32)
+    args = ([jnp.asarray(r) for r in regs], [jnp.asarray(l) for l in logs],
+            [jnp.asarray(p) for p in priors], jnp.asarray(used))
+
+    with config.precision_scope("highest"):
+        want_b, want_v, _ = R.rpn_proposals(*args, lvtop=300, out_top=200)
+    with config.precision_scope("default"):
+        got_b, got_v, overflow = R.rpn_proposals(*args, lvtop=300, out_top=200)
+    assert int(np.asarray(overflow).max()) == 0
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    v = np.asarray(want_v)
+    np.testing.assert_allclose(np.asarray(got_b)[v], np.asarray(want_b)[v],
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_rpn_two_pass_nms_counts_displacement():
+    """When a level holds more than 256 disjoint (never-suppressed)
+    candidates, the two-pass NMS drops the tail and must count EVERY dropped
+    valid candidate as displacement risk (output not full -> all dropped
+    would have been appended)."""
+    from videotofaces_tpu import config
+
+    n = 400
+    # disjoint 8x8 boxes on a 20-pitch grid: NMS never suppresses anything
+    g = int(np.ceil(np.sqrt(n)))
+    cx = (np.arange(n) % g) * 20.0 + 10.0
+    cy = (np.arange(n) // g) * 20.0 + 10.0
+    priors = [np.stack([cx, cy, np.full(n, 8.0), np.full(n, 8.0)],
+                       axis=1).astype(np.float32)]
+    regs = [jnp.zeros((1, n, 4), jnp.float32)]
+    logs = [jnp.asarray(np.linspace(3.0, 1.0, n, dtype=np.float32))[None]]
+    used = jnp.asarray([[1e4, 1e4]], jnp.float32)
+
+    with config.precision_scope("default"):
+        _, out_valid, overflow = R.rpn_proposals(
+            regs, logs, priors, used, lvtop=n, out_top=n)
+    assert int(np.asarray(out_valid).sum()) == 256   # exact head kept
+    assert int(np.asarray(overflow)[0]) == n - 256   # every dropped counted
+
+    with config.precision_scope("highest"):
+        _, want_v, want_of = R.rpn_proposals(
+            regs, logs, priors, used, lvtop=n, out_top=n)
+    assert int(np.asarray(want_v).sum()) == n
+    assert int(np.asarray(want_of)[0]) == 0

@@ -125,6 +125,10 @@ def rpn_proposals(regs, logs, priors_per_level, canvas_used_hw, lvtop=1000,
 
     NMS groups by (image, level), so it runs as independent [lvtop]-sized
     problems — [B*L, T, T] IoU matrices instead of one [B, L*T, L*T] monster.
+    In throughput mode the NMS is two-pass: exact over each level's top-256
+    (slots are score-sorted), tail candidates dropped with their displacement
+    risk counted into the returned overflow channel (see inline comment).
+    Parity mode runs the full [lvtop]-sized NMS.
     """
     b = regs[0].shape[0]
     nl = len(regs)
@@ -168,13 +172,41 @@ def rpn_proposals(regs, logs, priors_per_level, canvas_used_hw, lvtop=1000,
     boxes = clamp_to_canvas(boxes, canvas_used_hw[:, None, None, :])
     valid = valid & small_boxes_mask(boxes, 0.0)
     flat = lambda a: a.reshape((b * nl,) + a.shape[2:])
-    keep = jax.vmap(lambda bb, ss, vv: nms_keep_mask(bb, ss, vv, iou_thr))(
-        flat(boxes), flat(obj), flat(valid))
-    keep = keep.reshape(b, nl * lvtop)
+    nms_t = 256
+    if fast and lvtop > nms_t:
+        # two-pass NMS (measured tools/profile_rpn.py: full chain 3.98 ->
+        # 3.20 ms/batch-2 at 720p): per-level slots are score-DESCENDING
+        # (lax.top_k and block_topk_select both sort), so NMS over the first
+        # nms_t slots is exact for them — tail candidates are dropped, and a
+        # dropped candidate can only LOSE a keeper (it can never wrongly
+        # suppress an earlier one), so the displacement risk below is a
+        # complete account of the approximation.
+        keep_t = jax.vmap(lambda bb, ss, vv: nms_keep_mask(
+            bb, ss, vv, iou_thr, presorted=True))(
+            flat(boxes)[:, :nms_t], flat(obj)[:, :nms_t], flat(valid)[:, :nms_t])
+        keep = jnp.pad(keep_t.reshape(b, nl, nms_t),
+                       ((0, 0), (0, 0), (0, lvtop - nms_t))).reshape(b, nl * lvtop)
+    else:
+        keep = jax.vmap(lambda bb, ss, vv: nms_keep_mask(bb, ss, vv, iou_thr))(
+            flat(boxes), flat(obj), flat(valid)).reshape(b, nl * lvtop)
+    obj3, valid3 = obj, valid
     obj = obj.reshape(b, nl * lvtop)
     boxes = boxes.reshape(b, nl * lvtop, 4)
     idx, out_valid = jax.vmap(lambda ss, kk: topk_by_score(ss, kk, out_top))(obj, keep)
     out_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    if fast and lvtop > nms_t:
+        # displacement risk: dropped (rank >= nms_t) valid candidates that
+        # score above the final cutoff — or ALL of them when the output
+        # isn't full (any kept dropped candidate would have been appended).
+        # Counted into the same overflow channel the wrapper already warns on.
+        sel_scores = jnp.take_along_axis(obj, idx, axis=1)
+        cutoff = jnp.where(jnp.all(out_valid, axis=1),
+                           jnp.min(jnp.where(out_valid, sel_scores, jnp.inf),
+                                   axis=1),
+                           -1.0)
+        risk = jnp.sum((obj3[:, :, nms_t:] > cutoff[:, None, None])
+                       & valid3[:, :, nms_t:], axis=(1, 2))
+        select_overflow = select_overflow + risk.astype(jnp.int32)
     return out_boxes, out_valid, select_overflow
 
 
