@@ -82,6 +82,34 @@ def main():
     for k, v in ranked[:50]:
         print("%9.2f ms  %s" % (v / 3, k))
 
+    # individual (unstripped) device ops, cross-referenced against the
+    # optimized HLO so the copy/fusion shapes are visible
+    print("\n---- top individual ops with HLO shapes ----")
+    hlo = jax.jit(fn).lower(params, frames).compile().as_text()
+    hlo_lines = {}
+    for line in hlo.splitlines():
+        ls = line.strip()
+        if ls.startswith("%") or ls.startswith("ROOT %"):
+            name = ls.split(" ", 1)[0].lstrip("%").split("=")[0].strip().lstrip("ROOT %")
+        m = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) = ", line)
+        if m:
+            hlo_lines[m.group(1)] = line.strip()[:200]
+    indiv = defaultdict(float)
+    for fp in files:
+        with gzip.open(fp, "rt") as f:
+            data = json.load(f)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") != "X":
+                continue
+            name, dur = ev.get("name", ""), ev.get("dur", 0) / 1e3
+            if name and dur > 0 and not name.startswith("$"):
+                indiv[name] += dur
+    for k, v in sorted(indiv.items(), key=lambda kv: -kv[1])[:35]:
+        print("%9.2f ms  %s" % (v / 3, k))
+        ref = hlo_lines.get(k) or hlo_lines.get(k.split("/")[-1])
+        if ref:
+            print("             %s" % ref)
+
 
 if __name__ == "__main__":
     main()

@@ -6,7 +6,8 @@ PNet-only stage cost for both.
 Queued-amortized timing: blocks of Q steps with one device_get sync per
 block (a per-step sync pays the ~40 ms tunnel round trip).
 
-Usage: python tools/profile_pnet_tail.py [batch] [h] [w] [minsize] [rounds]
+Usage: python tools/profile_pnet_tail.py [batch] [h] [w] [minsize] [rounds] [arms]
+  arms: comma list like "mod+mod,pac+s2d" (default: all six stem+tail combos)
 """
 
 import sys
@@ -84,12 +85,18 @@ def main():
                        for t in jax.tree.leaves(out[:4]))
         return fn
 
+    want = sys.argv[6].split(",") if len(sys.argv) > 6 else None
     arms = {}
     for stem in ("module", "s2d", "packed"):
         for tail in ("module", "s2d"):
             key = "%s+%s" % (stem[:3], tail[:3])
-            arms["pnet:" + key] = jax.jit(pnet_only(stem, tail))
-            arms["full:" + key] = jax.jit(full(stem, tail))
+            for scope, builder in (("pnet", pnet_only), ("full", full)):
+                name = "%s:%s" % (scope, key)
+                # filter accepts either "pac+s2d" (both scopes) or an exact
+                # "full:pac+s2d" (compiles are minutes each on axon)
+                if want is not None and key not in want and name not in want:
+                    continue
+                arms[name] = jax.jit(builder(stem, tail))
     for name, fn in arms.items():
         jax.device_get(fn(params, frames))  # compile
         jax.device_get(fn(params, frames))  # warm

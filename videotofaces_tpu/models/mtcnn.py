@@ -127,16 +127,22 @@ def pnet_s2d_head(pnet_params, x, packed_hw=None):
     y = jnp.maximum(y, 0) + a4 * jnp.minimum(y, 0)    # PReLU on packed phases
 
     # ceil-mode 2x2 s2 maxpool == max over phase groups, masking phases whose
-    # full-res position falls outside the VALID conv1 output (static masks)
+    # full-res position falls outside the VALID conv1 output (static masks).
+    # The conv's channel layout is already pool-phase-major (pi*20+pj*10+c),
+    # so each phase is a LAST-AXIS slice — no 6-D reshape: the earlier
+    # reshape(b,ni,nj,2,2,10) form made XLA materialize the phase tensor in a
+    # tiny-minor-dim layout and copy every slice out of it (~45 ms/step of
+    # pure relayout on the 1080p minsize-5 pyramid, per-op trace
+    # tools/profile_mtcnn_trace.py).
     ni, nj = -(-hv // 2), -(-wv // 2)
-    ph = y[:, :ni, :nj].reshape(b, ni, nj, 2, 2, 10)
-    neg = jnp.asarray(-jnp.inf, ph.dtype)
+    yc = y[:, :ni, :nj]
+    neg = jnp.asarray(-jnp.inf, yc.dtype)
     rows1 = jnp.asarray((2 * np.arange(ni) + 1 < hv))[None, :, None]
     cols1 = jnp.asarray((2 * np.arange(nj) + 1 < wv))[None, None, :]
-    p00 = ph[..., 0, 0, :]
-    p01 = jnp.where(cols1[..., None], ph[..., 0, 1, :], neg)
-    p10 = jnp.where(rows1[..., None], ph[..., 1, 0, :], neg)
-    p11 = jnp.where((rows1 & cols1)[..., None], ph[..., 1, 1, :], neg)
+    p00 = yc[..., 0:10]
+    p01 = jnp.where(cols1[..., None], yc[..., 10:20], neg)
+    p10 = jnp.where(rows1[..., None], yc[..., 20:30], neg)
+    p11 = jnp.where((rows1 & cols1)[..., None], yc[..., 30:40], neg)
     return jnp.maximum(jnp.maximum(p00, p01), jnp.maximum(p10, p11))
 
 
@@ -170,11 +176,19 @@ def _unpack_s2d(y, ph, pw):
     return y.reshape(b, 2 * nh, 2 * nw, c)[:, :ph, :pw]
 
 
-def pnet_s2d_tail(pnet_params, pool1):
+def pnet_s2d_tail(pnet_params, pool1, packed_out=False):
     """conv2 + conv3 (+PReLUs) + cls/reg heads in space-to-depth-2 packed
     form, from the pool1 map. Returns (reg [B, ph, pw, 4], prob [B, ph, pw])
     with ph = P-4, pw = Q-4 — same taps as the module path (unit-tested),
     different accumulation order.
+
+    ``packed_out=True`` skips the final spatial unpack (a 6-D transpose XLA
+    materializes at ~14 ms/step on the 1080p minsize-5 pyramid) and returns
+    ``(reg_p [B, nh, nw, 16], prob_p [B, nh, nw, 4], (ph, pw))`` still in the
+    phase-packed layout: channel group p = pr*2+pc at packed (I, J) is the
+    unpacked position (2I+pr, 2J+pc); positions >= (ph, pw) are phantoms the
+    consumer must mask (full_forward's packed selection does the index math
+    instead of ever building the unpacked map).
 
     Why: PNet's 10->16 and 16->32 convs are ~82% of its FLOPs and run lane-
     starved (N=16/32 of 128). Packing AFTER pool1 keeps the integral-image
@@ -215,10 +229,13 @@ def pnet_s2d_tail(pnet_params, pool1):
     cls = jnp.dot(x, wc, precision=prec) + jnp.tile(p["cls"]["bias"].astype(dt), 4)
     reg = jnp.dot(x, wr, precision=prec) + jnp.tile(p["reg"]["bias"].astype(dt), 4)
     nh, nw = cls.shape[1:3]
-    prob = jax.nn.softmax(cls.reshape(b, nh, nw, 4, 2), axis=-1)[..., 1]
-    prob = _unpack_s2d(prob, ph, pw)[..., 0]
-    reg = _unpack_s2d(reg, ph, pw)
-    return reg, prob
+    # 2-way softmax == sigmoid of the logit difference (exact identity);
+    # channel layout is p*2 + {bg, face}, so even/odd strided slices avoid a
+    # [.., 4, 2] reshape that XLA would relayout
+    prob = jax.nn.sigmoid(cls[..., 1::2] - cls[..., 0::2])    # [B, nh, nw, 4]
+    if packed_out:
+        return reg, prob, (ph, pw)
+    return _unpack_s2d(reg, ph, pw), _unpack_s2d(prob, ph, pw)[..., 0]
 
 
 def _flatten_whc(x):
@@ -437,13 +454,30 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             else:
                 pool1 = PNet(to_pool1=True).apply({"params": params["pnet"]}, level)
         if pnet_tail == "s2d":
-            reg, prob = pnet_s2d_tail(params["pnet"], pool1)
+            # packed outputs: selection runs straight on the phase-packed
+            # layout (flat index f = (I*nw + J)*4 + p, p = pr*2+pc at
+            # unpacked (2I+pr, 2J+pc)) — the unpacked full-res maps are
+            # never materialized (the unpack transpose + its f32 convert
+            # copies cost ~22 ms/step in the per-op trace)
+            reg_m, prob_m, (ph, pw) = pnet_s2d_tail(params["pnet"], pool1,
+                                                    packed_out=True)
+            nh, nw = prob_m.shape[1:3]
+            pr_ = np.array([0, 0, 1, 1])
+            pc_ = np.array([0, 1, 0, 1])
+            phantom = ((2 * np.arange(nh)[:, None, None] + pr_ < ph)
+                       & (2 * np.arange(nw)[None, :, None] + pc_ < pw))
+            prob_m = jnp.where(jnp.asarray(phantom)[None], prob_m, 0.0)
+            d = nh * nw * 4
+            xy_of = lambda idx: ((2 * ((idx // 4) % nw) + idx % 2).astype(jnp.float32),
+                                 (2 * (idx // (4 * nw)) + (idx % 4) // 2).astype(jnp.float32))
         else:
-            reg, prob = PNet(from_pool1=True).apply({"params": params["pnet"]}, pool1)
-        reg, prob = reg.astype(jnp.float32), prob.astype(jnp.float32)
-        ph, pw = prob.shape[1:3]
-        d = ph * pw
-        flat_prob = prob.reshape(b, d)
+            reg_m, prob_m = PNet(from_pool1=True).apply({"params": params["pnet"]}, pool1)
+            ph, pw = prob_m.shape[1:3]
+            d = ph * pw
+            xy_of = lambda idx: ((idx % pw).astype(jnp.float32),
+                                 (idx // pw).astype(jnp.float32))
+        reg = reg_m.astype(jnp.float32).reshape(b, d, 4)
+        flat_prob = prob_m.astype(jnp.float32).reshape(b, d)
         masked = jnp.where(flat_prob >= t1, flat_prob, 0.0)
         level_cand = jnp.sum(masked > 0.0, axis=1).astype(jnp.int32)
         total_cand = total_cand + level_cand
@@ -454,7 +488,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             # f32-exact for d < 2^24) carried through — lax.top_k's full
             # variadic sort over megapixel levels costs ~20 ms/level here
             payload = jnp.concatenate(
-                [reg.reshape(b, d, 4),
+                [reg,
                  jnp.broadcast_to(jnp.arange(d, dtype=jnp.float32)[None, :, None],
                                   (b, d, 1))], axis=-1)
             scores, sel, overflow = block_topk_select(masked, payload, k1, per_block=4)
@@ -466,14 +500,13 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             scores, idx = jax.lax.top_k(masked, k1)
             preds = None
         valid = scores >= t1
-        wi = (idx % pw).astype(jnp.float32)
-        hi = (idx // pw).astype(jnp.float32)
+        wi, hi = xy_of(idx)
         boxes = jnp.stack([
             jnp.floor((2.0 * wi + 1.0) / sc), jnp.floor((2.0 * hi + 1.0) / sc),
             jnp.floor((2.0 * wi + 12.0) / sc), jnp.floor((2.0 * hi + 12.0) / sc),
         ], axis=-1)                                               # [B, k1, 4]
         if preds is None:
-            preds = jnp.take_along_axis(reg.reshape(b, d, 4), idx[..., None], axis=1)
+            preds = jnp.take_along_axis(reg, idx[..., None], axis=1)
         keep = _per_image_nms(boxes, scores, valid, 0.5)
         k1p = min(caps.post1, k1)
         v, boxes, scores, preds = _select_topk(scores, keep, k1p, boxes, scores, preds)
