@@ -277,3 +277,41 @@ def test_cascade_pallas_crop_engine_matches_gather(rng):
                                rtol=1e-4, atol=1e-4)
     assert int(np.asarray(got[4]["stage2_crop_dropped"]).sum()) == 0
     assert int(np.asarray(got[4]["stage3_crop_dropped"]).sum()) == 0
+
+
+def test_cascade_fast_mode_block_select_matches_module(rng):
+    """Throughput ("default") precision turns on the block-top-k stage-1
+    selection (index-only, ops/select.py::block_topk_indices) and the
+    packed stem/tail defaults; on CPU (f32 math regardless of the MXU
+    precision flag) the cascade must reproduce the parity path's detections.
+    caps.pre1=32 on a 64x96 frame makes the largest level's d exceed 4*k1,
+    so the block branch actually fires."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu import config
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, 64, 96, 3)).astype(np.uint8))
+
+    ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                         crop_engine="gather", pnet_stem="module",
+                         pnet_tail="module")
+    assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+    with config.precision_scope("default"):
+        got = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather")
+    v = np.asarray(ref[3])
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+    np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
+                               rtol=1e-4, atol=1e-4)

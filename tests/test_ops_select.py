@@ -1,7 +1,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from videotofaces_tpu.ops.select import block_topk_select
+from videotofaces_tpu.ops.select import block_topk_indices, block_topk_select
 
 
 def naive(scores, payload, k):
@@ -48,3 +48,38 @@ def test_block_topk_overflow_detection(rng):
     vals, sel, overflow = block_topk_select(jnp.asarray(scores), jnp.asarray(payload),
                                             k, per_block=8)
     assert int(np.asarray(overflow)[0]) >= 1  # block 0 truncated and flagged
+
+
+def test_block_topk_indices_matches_lax_topk(rng):
+    import jax
+
+    b, d, k = 3, 2999, 200
+    scores = rng.uniform(0, 1, size=(b, d)).astype(np.float32)
+    scores[scores < 0.7] = 0.0
+    vals, idx, overflow = block_topk_indices(jnp.asarray(scores), k, per_block=32)
+    ref_vals, ref_idx = jax.lax.top_k(jnp.asarray(scores), k)
+    assert (np.asarray(overflow) == 0).all()
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_block_topk_indices_tie_order_matches_lax_topk(rng):
+    import jax
+
+    # heavy ties: scores drawn from 4 distinct values -> tie order (ascending
+    # index among equals) must match lax.top_k exactly
+    b, d, k = 2, 1600, 300
+    scores = rng.choice([0.0, 0.7, 0.8, 0.9], size=(b, d)).astype(np.float32)
+    vals, idx, _ = block_topk_indices(jnp.asarray(scores), k, per_block=64)
+    ref_vals, ref_idx = jax.lax.top_k(jnp.asarray(scores), k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_block_topk_indices_overflow_and_bounds(rng):
+    d, k = 512, 64
+    scores = np.zeros((1, d), np.float32)
+    scores[0, :40] = rng.uniform(10, 20, size=40)
+    vals, idx, overflow = block_topk_indices(jnp.asarray(scores), k, per_block=8)
+    assert int(np.asarray(overflow)[0]) >= 1
+    assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < d).all()

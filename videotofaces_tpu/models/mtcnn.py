@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ..ops.nms import (iom_chain_suppress, nms_keep_mask,
                         nms_keep_mask_bucketed, topk_by_score)
-from ..ops.select import block_topk_select
+from ..ops.select import block_topk_indices
 from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_chw
 from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
                           adaptive_pool_full_s2d2, integral_image)
@@ -476,7 +476,11 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             d = ph * pw
             xy_of = lambda idx: ((idx % pw).astype(jnp.float32),
                                  (idx // pw).astype(jnp.float32))
-        reg = reg_m.astype(jnp.float32).reshape(b, d, 4)
+        # reg stays in compute dtype until after selection: only the k1
+        # winners' rows are ever converted (an f32 convert of the full
+        # [B, 3M, 4] map is an ~8 ms copy on the largest 1080p/minsize-5
+        # level, per-op trace tools/profile_mtcnn_trace.py)
+        reg = reg_m.reshape(b, d, 4)
         flat_prob = prob_m.astype(jnp.float32).reshape(b, d)
         masked = jnp.where(flat_prob >= t1, flat_prob, 0.0)
         level_cand = jnp.sum(masked > 0.0, axis=1).astype(jnp.int32)
@@ -484,29 +488,21 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         scale_max = jnp.maximum(scale_max, level_cand)
         k1 = min(caps.pre1, d)
         if fast and d > 4 * k1:
-            # big levels: lane-block top-k with the payload (reg + flat index,
-            # f32-exact for d < 2^24) carried through — lax.top_k's full
-            # variadic sort over megapixel levels costs ~20 ms/level here
-            payload = jnp.concatenate(
-                [reg,
-                 jnp.broadcast_to(jnp.arange(d, dtype=jnp.float32)[None, :, None],
-                                  (b, d, 1))], axis=-1)
-            scores, sel, overflow = block_topk_select(masked, payload, k1, per_block=4)
+            # big levels: lane-block top-k, index-only (nothing full-D-sized
+            # is materialized) — lax.top_k's full variadic sort over
+            # megapixel levels costs ~20 ms/level here
+            scores, idx, overflow = block_topk_indices(masked, k1, per_block=4)
             select_overflow = select_overflow + overflow
-            preds = sel[..., :4]
-            idx = sel[..., 4].astype(jnp.int32)
             scores = jnp.maximum(scores, 0.0)  # -inf padding -> 0 (invalid)
         else:
             scores, idx = jax.lax.top_k(masked, k1)
-            preds = None
         valid = scores >= t1
         wi, hi = xy_of(idx)
         boxes = jnp.stack([
             jnp.floor((2.0 * wi + 1.0) / sc), jnp.floor((2.0 * hi + 1.0) / sc),
             jnp.floor((2.0 * wi + 12.0) / sc), jnp.floor((2.0 * hi + 12.0) / sc),
         ], axis=-1)                                               # [B, k1, 4]
-        if preds is None:
-            preds = jnp.take_along_axis(reg, idx[..., None], axis=1)
+        preds = jnp.take_along_axis(reg, idx[..., None], axis=1).astype(jnp.float32)
         keep = _per_image_nms(boxes, scores, valid, 0.5)
         k1p = min(caps.post1, k1)
         v, boxes, scores, preds = _select_topk(scores, keep, k1p, boxes, scores, preds)

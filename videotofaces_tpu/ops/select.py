@@ -84,3 +84,58 @@ def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf):
     overflow = jnp.sum((next_best > kth[:, None]) & (next_best > 0.0)
                        & jnp.isfinite(next_best), axis=1).astype(jnp.int32)
     return out_vals, out_sel, overflow
+
+
+def block_topk_indices(scores, k, per_block=32, pad_value=-jnp.inf):
+    """Like ``block_topk_select`` but returns flat INDICES instead of a
+    carried payload: (vals [B, k] descending, idx [B, k] int32, overflow [B]).
+
+    The flat index of each block winner is ``block_id * 128 + argmax_lane`` —
+    computed from values the argmax passes already produce, so NOTHING
+    full-candidate-axis-sized is ever materialized (``block_topk_select``
+    pads + reshapes its f32 payload at [B, D, P]; at MTCNN's 3M-candidate
+    pyramid level that payload copy alone is ~8 ms/step on v5e — the caller
+    gathers the k winners' payload rows afterwards instead, k*P elements at
+    the ~5.5 ns/element gather floor).
+
+    Tie order matches ``lax.top_k`` exactly (descending value, ascending
+    index among equals): within a block, iterative argmax picks the lowest
+    lane first; across blocks the pre-sort layout is block-major and
+    ``lax.sort`` is stable.
+    """
+    b, d = scores.shape
+    r = -(-d // BLOCK)
+    per_block = min(BLOCK, max(per_block, -(-2 * k // r)))
+    dp = r * BLOCK
+    s = jnp.pad(scores, ((0, 0), (0, dp - d)), constant_values=pad_value)
+    s = s.reshape(b, r, BLOCK)
+
+    base = (jnp.arange(r, dtype=jnp.int32) * BLOCK)[None, :]   # [1, R]
+    remaining = s
+    vals_list, idx_list = [], []
+    for _ in range(per_block):
+        v = jnp.max(remaining, axis=-1)                        # [B, R]
+        am = jnp.argmax(remaining, axis=-1)                    # [B, R]
+        vals_list.append(v)
+        idx_list.append(base + am.astype(jnp.int32))
+        remaining = jnp.where(
+            jnp.arange(BLOCK)[None, None, :] == am[..., None], pad_value,
+            remaining)
+    # [B, R, per_block] -> block-major flat order (ties: ascending index)
+    vals = jnp.stack(vals_list, axis=2).reshape(b, r * per_block)
+    idx = jnp.stack(idx_list, axis=2).reshape(b, r * per_block)
+
+    neg = jnp.where(jnp.isfinite(vals), -vals, jnp.inf)
+    neg_sorted, idx_sorted = lax.sort((neg, idx), dimension=-1, num_keys=1)
+    neg_sorted, idx_sorted = neg_sorted[:, :k], idx_sorted[:, :k]
+    out_vals = jnp.where(jnp.isinf(neg_sorted), pad_value, -neg_sorted)
+    # padded-lane picks carry index >= d only when fewer than k finite
+    # entries exist; clamp so downstream gathers stay in-bounds (their
+    # scores are pad_value, so callers' validity masks already kill them)
+    idx_sorted = jnp.minimum(idx_sorted, d - 1)
+
+    kth = out_vals[:, k - 1]
+    next_best = jnp.max(remaining, axis=-1)
+    overflow = jnp.sum((next_best > kth[:, None]) & (next_best > 0.0)
+                       & jnp.isfinite(next_best), axis=1).astype(jnp.int32)
+    return out_vals, idx_sorted, overflow
