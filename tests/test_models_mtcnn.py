@@ -315,3 +315,64 @@ def test_cascade_fast_mode_block_select_matches_module(rng):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pnet_s2d4_stem_matches_standard(rng):
+    """The fully-packed stem (s2d4 pyramid pooling + K=48 packed conv1 +
+    channel-group maxpool) reproduces the module's pool1 map in the tail's
+    s2d2-packed layout, across odd/even level sizes (phantom rows/cols and
+    edge pool windows exercise every mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.ops.resize import (adaptive_pool_full,
+                                             adaptive_pool_full_s2d4,
+                                             integral_image)
+
+    params = M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"]
+    frames = jnp.asarray(rng.integers(0, 255, size=(2, 80, 100, 3)).astype(np.uint8))
+    ii = integral_image(frames[..., ::-1])
+    for sh, sw in [(40, 50), (41, 53), (42, 55), (43, 52), (97, 121), (120, 150)]:
+        level = M._normalize(adaptive_pool_full(ii, (sh, sw), (80, 100)))
+        want = M.PNet(to_pool1=True).apply({"params": params}, level)   # [B,P,Q,10]
+        packed4 = M._normalize(adaptive_pool_full_s2d4(ii, (sh, sw), (80, 100)))
+        got, (P, Q) = M.pnet_s2d4_stem(params, packed4, (sh, sw))
+        assert (P, Q) == want.shape[1:3]
+        # unpack got [B,ni,nj,40] -> [B,2ni,2nj,10] and compare the real region
+        b, ni, nj, _ = got.shape
+        up = np.asarray(got).reshape(b, ni, nj, 2, 2, 10).transpose(0, 1, 3, 2, 4, 5)
+        up = up.reshape(b, 2 * ni, 2 * nj, 10)[:, :P, :Q]
+        np.testing.assert_allclose(up, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_cascade_s2d4_stem_matches_module_path(rng):
+    """Full cascade with the fully-packed stem (pnet_stem='s2d4') reproduces
+    the module path's detections."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, 64, 96, 3)).astype(np.uint8))
+
+    ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                         crop_engine="gather", pnet_stem="module",
+                         pnet_tail="module")
+    assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+    got = M.full_forward(params, frames, minsize=14, caps=caps,
+                         crop_engine="gather", pnet_stem="s2d4")
+    v = np.asarray(ref[3])
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+    np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
+                               rtol=1e-4, atol=1e-4)

@@ -49,14 +49,20 @@ def main():
     scales, sizes = M.scale_pyramid(h, w, minsize)
     print("pyramid: %d levels, largest %s" % (len(scales), sizes[0]))
 
-    from videotofaces_tpu.ops.resize import adaptive_pool_full_s2d2
+    from videotofaces_tpu.ops.resize import (adaptive_pool_full_s2d2,
+                                             adaptive_pool_full_s2d4)
 
     def pnet_only(stem, tail):
         def fn(p, f):
             ii = integral_image(f[..., ::-1])
             outs = []
             for (sh, sw) in sizes:
-                if stem == "packed":
+                pq = None
+                if stem == "s2d4":
+                    packed4 = M._normalize(adaptive_pool_full_s2d4(ii, (sh, sw), (h, w)))
+                    pool1, pq = M.pnet_s2d4_stem(p["pnet"], packed4.astype(jnp.bfloat16),
+                                                 (sh, sw))
+                elif stem == "packed":
                     packed = M._normalize(adaptive_pool_full_s2d2(ii, (sh, sw), (h, w)))
                     pool1 = M.pnet_s2d_head(p["pnet"], packed.astype(jnp.bfloat16),
                                             packed_hw=(sh, sw))
@@ -68,7 +74,7 @@ def main():
                     else:
                         pool1 = M.PNet(to_pool1=True).apply({"params": p["pnet"]}, level)
                 if tail == "s2d":
-                    reg, prob = M.pnet_s2d_tail(p["pnet"], pool1)
+                    reg, prob = M.pnet_s2d_tail(p["pnet"], pool1, packed_in_hw=pq)
                 else:
                     reg, prob = M.PNet(from_pool1=True).apply({"params": p["pnet"]}, pool1)
                 outs.append(reg.sum() + prob.sum())
@@ -87,9 +93,11 @@ def main():
 
     want = sys.argv[6].split(",") if len(sys.argv) > 6 else None
     arms = {}
-    for stem in ("module", "s2d", "packed"):
+    for stem in ("module", "s2d", "packed", "s2d4"):
         for tail in ("module", "s2d"):
-            key = "%s+%s" % (stem[:3], tail[:3])
+            if stem == "s2d4" and tail != "s2d":
+                continue
+            key = "%s+%s" % ({"s2d4": "s2d4"}.get(stem, stem[:3]), tail[:3])
             for scope, builder in (("pnet", pnet_only), ("full", full)):
                 name = "%s:%s" % (scope, key)
                 # filter accepts either "pac+s2d" (both scopes) or an exact

@@ -33,7 +33,8 @@ from ..ops.nms import (iom_chain_suppress, nms_keep_mask,
 from ..ops.select import block_topk_indices
 from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_chw
 from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
-                          adaptive_pool_full_s2d2, integral_image)
+                          adaptive_pool_full_s2d2, adaptive_pool_full_s2d4,
+                          integral_image)
 from .. import config
 from .layers import ConvUnit, PReLU, max_pool2d
 
@@ -146,6 +147,81 @@ def pnet_s2d_head(pnet_params, x, packed_hw=None):
     return jnp.maximum(jnp.maximum(p00, p01), jnp.maximum(p10, p11))
 
 
+def pnet_s2d4_stem(pnet_params, packed4, level_hw):
+    """conv1 + PReLU + ceil 2x2 s2 maxpool with EVERYTHING packed: input is
+    the space-to-depth-4 pyramid level (ops/resize.py::adaptive_pool_full_s2d4,
+    [B, ceil(sh/4)+1, ceil(sw/4)+1, 48]), output is pool1 ALREADY in the
+    s2d2-packed layout ``pnet_s2d_tail(packed_in_hw=...)`` consumes:
+    ([B, ni, nj, 40] with channel (pr*2+pc)*10+c == pool1[2I+pr, 2J+pc, c],
+    (P, Q)) where (P, Q) are pool1's true dims.
+
+    Why a second packing level: the s2d2 stem's output is the UNPACKED pool1
+    map, which the packed tail must re-pack with a pad+reshape+transpose that
+    XLA materializes (~12 ms/step of pad-clones + copies on the 1080p
+    minsize-5 pyramid, per-op trace tools/profile_mtcnn_trace.py). At s2d4,
+    conv1's 16 output phase groups are ordered (pool_phase)*4 + sub_tap, so
+    the 2x2 ceil maxpool collapses to a max over 4 CONTIGUOUS last-axis
+    slices per pool phase and the result needs no repack at all. conv1 also
+    contracts K=48 instead of 12 (4x the MXU lane use) at 1/16 area.
+
+    Tap placement identical to the module conv1 (VALID, stride 1); phantom
+    pool positions (beyond P, Q) are zeroed; phantom taps (full-res position
+    beyond the VALID conv output) are -inf'd before the max — ceil-mode
+    semantics exactly as ``max_pool2d(ceil_mode=True)``."""
+    prec = config.get_precision()
+    k1 = pnet_params["conv1"]["conv"]["kernel"]       # [3, 3, 3, 10]
+    b1 = pnet_params["conv1"]["conv"]["bias"]
+    alpha = pnet_params["conv1"]["prelu"]["alpha"]
+    dt = jnp.promote_types(packed4.dtype, k1.dtype)
+    packed4, k1, b1, alpha = (t.astype(dt) for t in (packed4, k1, b1, alpha))
+    sh, sw = level_hw
+    hv, wv = sh - 2, sw - 2                           # VALID conv1 output size
+
+    # 2x2 packed conv, 48 -> 160: output group g = (pr*2+pc)*4 + (sr*2+sc)
+    # holds full-res phase (qr, qc) = (2*pr+sr, 2*pc+sc)
+    w4 = jnp.zeros((2, 2, 48, 160), k1.dtype)
+    for qr in range(4):
+        for qc in range(4):
+            g = ((qr // 2) * 2 + (qc // 2)) * 4 + ((qr % 2) * 2 + (qc % 2))
+            for dy in range(3):
+                for dx in range(3):
+                    r, p4r = divmod(qr + dy, 4)
+                    s, p4c = divmod(qc + dx, 4)
+                    gi = (p4r * 4 + p4c) * 3
+                    w4 = w4.at[r, s, gi:gi + 3, g * 10:g * 10 + 10].set(k1[dy, dx])
+    y = jax.lax.conv_general_dilated(
+        packed4, w4, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    y = y + jnp.tile(b1, 16)
+    a16 = jnp.tile(alpha, 16)
+    y = jnp.maximum(y, 0) + a16 * jnp.minimum(y, 0)   # PReLU on packed phases
+
+    ni, nj = y.shape[1:3]                             # ceil(sh/4), ceil(sw/4)
+    P, Q = -(-hv // 2), -(-wv // 2)                   # true pool1 dims
+    neg = jnp.asarray(-jnp.inf, y.dtype)
+    iarr, jarr = np.arange(ni), np.arange(nj)
+    outs = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            base = (pr * 2 + pc) * 40
+            acc = None
+            for sr in (0, 1):
+                rows_ok = (4 * iarr + 2 * pr + sr) < hv
+                for sc in (0, 1):
+                    cols_ok = (4 * jarr + 2 * pc + sc) < wv
+                    m = jnp.asarray(rows_ok[:, None] & cols_ok[None, :])
+                    o = base + (sr * 2 + sc) * 10
+                    sl = jnp.where(m[None, ..., None], y[..., o:o + 10], neg)
+                    acc = sl if acc is None else jnp.maximum(acc, sl)
+                    if sr == 0 and sc == 0:
+                        alive = m                     # pool position is real
+            # phantom pool positions: every tap -inf'd above; zero them so
+            # downstream convs stay finite (consumers mask by (P, Q))
+            outs.append(jnp.where(alive[None, ..., None], acc,
+                                  jnp.zeros((), acc.dtype)))
+    return jnp.concatenate(outs, axis=-1), (P, Q)
+
+
 def _pack_s2d_conv(k, cin, cout):
     """Pack a 3x3 VALID conv (cin -> cout) into its space-to-depth-2 form: a
     2x2 VALID conv over [.., 4*cin] phase-packed maps producing [.., 4*cout]
@@ -176,7 +252,7 @@ def _unpack_s2d(y, ph, pw):
     return y.reshape(b, 2 * nh, 2 * nw, c)[:, :ph, :pw]
 
 
-def pnet_s2d_tail(pnet_params, pool1, packed_out=False):
+def pnet_s2d_tail(pnet_params, pool1, packed_out=False, packed_in_hw=None):
     """conv2 + conv3 (+PReLUs) + cls/reg heads in space-to-depth-2 packed
     form, from the pool1 map. Returns (reg [B, ph, pw, 4], prob [B, ph, pw])
     with ph = P-4, pw = Q-4 — same taps as the module path (unit-tested),
@@ -204,12 +280,20 @@ def pnet_s2d_tail(pnet_params, pool1, packed_out=False):
     dt = jnp.promote_types(pool1.dtype, k2.dtype)
     pool1 = pool1.astype(dt)
 
-    b, P, Q = pool1.shape[:3]
+    b = pool1.shape[0]
+    if packed_in_hw is not None:
+        # pool1 is ALREADY s2d2-packed [B, nh, nw, 40] (pnet_s2d4_stem);
+        # packed_in_hw carries the true pool dims — the packed map may hold
+        # extra phantom rows/cols whose outputs the (ph, pw) masks kill
+        P, Q = packed_in_hw
+        x = pool1
+    else:
+        _, P, Q = pool1.shape[:3]
+        pe, qe = P + (P % 2), Q + (Q % 2)
+        x = jnp.pad(pool1, ((0, 0), (0, pe - P), (0, qe - Q), (0, 0)))
+        x = x.reshape(b, pe // 2, 2, qe // 2, 2, 10)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, pe // 2, qe // 2, 40)
     ph, pw = P - 4, Q - 4
-    pe, qe = P + (P % 2), Q + (Q % 2)
-    x = jnp.pad(pool1, ((0, 0), (0, pe - P), (0, qe - Q), (0, 0)))
-    x = x.reshape(b, pe // 2, 2, qe // 2, 2, 10)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, pe // 2, qe // 2, 40)
 
     def packed_pconv(x, name, cin, cout):
         w = _pack_s2d_conv(p[name]["conv"]["kernel"].astype(dt), cin, cout)
@@ -431,7 +515,11 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         # the unpacked s2d stem stays rejected (284.3, fusion loss).
         pnet_stem = "s2d" if pnet_s2d else ("packed" if fast else "module")
     if pnet_tail is None:
-        pnet_tail = "s2d" if (fast and pnet_stem == "packed") else "module"
+        pnet_tail = "s2d" if (pnet_stem == "s2d4"
+                              or (fast and pnet_stem == "packed")) else "module"
+    if pnet_stem == "s2d4" and pnet_tail != "s2d":
+        raise ValueError("pnet_stem='s2d4' emits packed pool1 — only the "
+                         "'s2d' tail can consume it")
     counts = {}
 
     # ---- stage 1: proposal network over the pyramid -------------------------
@@ -440,7 +528,17 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     scale_max = jnp.zeros((b,), jnp.int32)        # per-scale candidate peak
     select_overflow = jnp.zeros((b,), jnp.int32)  # block-select truncation risk
     for sc, (sh, sw) in zip(scales, sizes):
-        if pnet_stem == "packed":
+        pool_hw = None
+        if pnet_stem == "s2d4":
+            # fully-packed stem: pyramid pooling emits s2d4 straight from its
+            # gather indices, conv1 contracts K=48, the 2x2 maxpool is a
+            # channel-group max whose output is ALREADY the tail's packed
+            # pool1 layout — no repack anywhere (pnet_s2d4_stem docstring)
+            packed4 = _normalize(adaptive_pool_full_s2d4(ii, (sh, sw), (h, w)))
+            if compute_dtype is not None:
+                packed4 = packed4.astype(compute_dtype)
+            pool1, pool_hw = pnet_s2d4_stem(params["pnet"], packed4, (sh, sw))
+        elif pnet_stem == "packed":
             packed = _normalize(adaptive_pool_full_s2d2(ii, (sh, sw), (h, w)))
             if compute_dtype is not None:
                 packed = packed.astype(compute_dtype)
@@ -460,7 +558,8 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             # never materialized (the unpack transpose + its f32 convert
             # copies cost ~22 ms/step in the per-op trace)
             reg_m, prob_m, (ph, pw) = pnet_s2d_tail(params["pnet"], pool1,
-                                                    packed_out=True)
+                                                    packed_out=True,
+                                                    packed_in_hw=pool_hw)
             nh, nw = prob_m.shape[1:3]
             pr_ = np.array([0, 0, 1, 1])
             pc_ = np.array([0, 1, 0, 1])

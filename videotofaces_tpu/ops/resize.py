@@ -140,6 +140,48 @@ def adaptive_pool_full_s2d2(ii, out_hw, true_hw):
     return jnp.concatenate(outs, axis=-1)
 
 
+def adaptive_pool_full_s2d4(ii, out_hw, true_hw):
+    """``adaptive_pool_full`` emitting the space-to-depth-4 packed layout:
+    [B, ceil(oh/4)+1, ceil(ow/4)+1, 16*C] with channel layout
+    (phase_row*4 + phase_col)*C + c — packed[b, i, j, (qr*4+qc)*C+c]
+    == pool[b, 4i+qr, 4j+qc, c].
+
+    Same trick as ``adaptive_pool_full_s2d2`` (the pack lives in the GATHER
+    INDICES, no transpose), one level deeper: feeds the fully-packed PNet
+    stem (models/mtcnn.py::pnet_s2d4_stem) whose 2x2 ceil maxpool collapses
+    to a channel-group max, so the stem's output is ALREADY in the
+    s2d2-packed pool1 layout the packed tail consumes — no repack between
+    stem and tail at all.
+
+    The extra +1 row/col lets the stem's 2x2 packed conv emit every valid
+    position with a VALID conv (phantom entries repeat the last real gather
+    index; consumers mask by the true dims)."""
+    h, w = true_hw
+    oh, ow = out_hw
+    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
+    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+
+    def phase(idx, n, rows):
+        p = idx[n::4]
+        if len(p) < rows:
+            p = np.concatenate([p, np.repeat(p[-1:], rows - len(p))])
+        return p
+
+    nh, nw = -(-oh // 4) + 1, -(-ow // 4) + 1
+    outs = []
+    for qr in range(4):
+        yep, ysp = phase(ye, qr, nh), phase(ys, qr, nh)
+        rows = jnp.take(ii, yep, axis=-3) - jnp.take(ii, ysp, axis=-3)
+        for qc in range(4):
+            xep, xsp = phase(xe, qc, nw), phase(xs, qc, nw)
+            sums = jnp.take(rows, xep, axis=-2) - jnp.take(rows, xsp, axis=-2)
+            area = ((yep - ysp)[:, None] * (xep - xsp)[None, :]).astype(np.float32)
+            outs.append(sums.astype(jnp.float32) / jnp.maximum(area, 1.0)[..., None])
+    return jnp.concatenate(outs, axis=-1)
+
+
 def adaptive_pool_boxes_batched(ii, boxes_xyxy, imgidx, out_size):
     """``adaptive_pool_boxes`` over a batch of integral images.
 
