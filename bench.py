@@ -379,7 +379,43 @@ def bench_device_graph_only(batch=8, iters=20, h=SIZE[1], w=SIZE[0]):
     return batch * iters / (time.perf_counter() - t0)
 
 
+def _backend_reachable(timeout_s=240):
+    """Probe backend init in a SUBPROCESS with a hard timeout: when the TPU
+    tunnel is down, in-process jax init hangs in C (make_c_api_client) with
+    no way to interrupt it — a hung bench emits no JSON line at all."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PIN + "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+# the axon site hook overrides JAX_PLATFORMS at backend-init time; honoring
+# JAX_PLATFORMS=cpu (smoke runs) needs the in-process config pin
+_PIN = ("import os, jax\n"
+        "if os.environ.get('JAX_PLATFORMS') == 'cpu':\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n")
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if not _backend_reachable():
+        print("TPU backend unreachable (tunnel down) — emitting zero metric "
+              "instead of hanging", file=sys.stderr)
+        print(json.dumps({
+            "metric": "TPU backend unreachable at bench time (dev tunnel "
+                      "down; backend init hangs) — no measurement possible "
+                      "this run. See docs/ROADMAP.md for the latest measured "
+                      "figures.",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0}))
+        return
+
     results, decode_fps = {}, float("nan")
     for det_model, style, n, bs in [("yolo", "live", N_FAST, 8),
                                     ("rcnn", "anime", N_SLOW, 2),

@@ -226,23 +226,27 @@ def test_cascade_s2d_tail_matches_module_path(rng):
     for net in params.values():
         net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
     caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
-    frames = jnp.asarray(rng.integers(0, 255, size=(1, 64, 96, 3)).astype(np.uint8))
+    # odd frame size: odd pool1/prob-map levels make the packed selection's
+    # phantom-phase masking and packed flat-index -> (x, y) arithmetic
+    # load-bearing, not just the even-size fast path
+    for fh, fw in [(64, 96), (63, 97)]:
+        frames = jnp.asarray(rng.integers(0, 255, size=(1, fh, fw, 3)).astype(np.uint8))
 
-    ref = M.full_forward(params, frames, minsize=14, caps=caps,
-                         crop_engine="gather", pnet_stem="module",
-                         pnet_tail="module")
-    assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
-    v = np.asarray(ref[3])
-    for stem, tail in [("module", "s2d"), ("packed", "module"),
-                       ("packed", "s2d")]:
-        got = M.full_forward(params, frames, minsize=14, caps=caps,
-                             crop_engine="gather", pnet_stem=stem,
-                             pnet_tail=tail)
-        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
-        np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
-                                   rtol=1e-4, atol=1e-3)
-        np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
-                                   rtol=1e-4, atol=1e-4)
+        ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", pnet_stem="module",
+                             pnet_tail="module")
+        assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+        v = np.asarray(ref[3])
+        for stem, tail in [("module", "s2d"), ("packed", "module"),
+                           ("packed", "s2d")]:
+            got = M.full_forward(params, frames, minsize=14, caps=caps,
+                                 crop_engine="gather", pnet_stem=stem,
+                                 pnet_tail=tail)
+            np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+            np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
+                                       rtol=1e-4, atol=1e-4)
 
 
 def test_cascade_pallas_crop_engine_matches_gather(rng):
@@ -315,6 +319,37 @@ def test_cascade_fast_mode_block_select_matches_module(rng):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_cascade_onehot_pick_matches_gather_pick(rng):
+    """stage1_pick='onehot' (gather-free one-hot einsum payload extraction,
+    the ROADMAP fallback for pathological TPU row-gather rates) reproduces
+    the default take_along_axis path exactly. Fast mode + pre1=32 so the
+    block-top-k branch (where the pick matters) actually fires."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu import config
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, 64, 96, 3)).astype(np.uint8))
+
+    with config.precision_scope("default"):
+        ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", stage1_pick="gather")
+        got = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", stage1_pick="onehot")
+    assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+    for r, g in zip(ref[:4], got[:4]):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
 def test_pnet_s2d4_stem_matches_standard(rng):

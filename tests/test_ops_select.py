@@ -1,7 +1,8 @@
 import numpy as np
 import jax.numpy as jnp
 
-from videotofaces_tpu.ops.select import block_topk_indices, block_topk_select
+from videotofaces_tpu.ops.select import (block_topk_indices, block_topk_select,
+                                          pick_rows_onehot)
 
 
 def naive(scores, payload, k):
@@ -83,3 +84,28 @@ def test_block_topk_indices_overflow_and_bounds(rng):
     vals, idx, overflow = block_topk_indices(jnp.asarray(scores), k, per_block=8)
     assert int(np.asarray(overflow)[0]) >= 1
     assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < d).all()
+
+
+def test_pick_rows_onehot_matches_take_along_axis(rng):
+    # non-128-multiple D exercises the block padding; repeated indices are
+    # legal (the stage-1 caller clamps padded picks to d-1)
+    b, d, p, k = 2, 1931, 4, 97
+    payload = rng.normal(size=(b, d, p)).astype(np.float32)
+    idx = rng.integers(0, d, size=(b, k)).astype(np.int32)
+    idx[0, :3] = [0, d - 1, d - 1]
+    got = np.asarray(pick_rows_onehot(jnp.asarray(payload), jnp.asarray(idx)))
+    want = np.take_along_axis(payload, idx[..., None], axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pick_rows_onehot_bf16_exact(rng):
+    # bf16 payload (the production stage-1 reg map dtype in throughput mode):
+    # a one-hot contraction copies the value exactly, no rounding
+    b, d, p, k = 1, 640, 4, 33
+    payload = jnp.asarray(rng.normal(size=(b, d, p)).astype(np.float32)).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, d, size=(b, k)).astype(np.int32))
+    got = pick_rows_onehot(payload, idx)
+    assert got.dtype == jnp.bfloat16
+    want = jnp.take_along_axis(payload, idx[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(got.astype(jnp.float32)),
+                                  np.asarray(want.astype(jnp.float32)))

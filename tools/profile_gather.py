@@ -31,7 +31,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 sys.path.insert(0, ".")
 
 from videotofaces_tpu.ops.select import (block_topk_indices,  # noqa: E402
-                                          block_topk_select)
+                                          block_topk_select, pick_rows_onehot)
 
 
 def main():
@@ -61,20 +61,10 @@ def main():
         return vals.sum() + sel.sum() + ov.sum()
 
     def arm_c(s, r):
+        # gather-free k-row pick (ops/select.py::pick_rows_onehot — the
+        # production fallback wired as full_forward(stage1_pick="onehot"))
         vals, idx, ov = block_topk_indices(s, k, per_block=4)
-        # gather-free k-row pick: one-hot over 128 lanes x block select.
-        # [B, k] flat idx -> block id + lane; pick row via lane one-hot
-        # against the block's 128-row slice, block chosen by a second
-        # one-hot contraction over R (matmul-shaped, no gathers).
-        blk = idx // 128
-        lane = idx % 128
-        rpad = jnp.pad(r, ((0, 0), (0, (-d) % 128), (0, 0)))
-        rb = rpad.reshape(b, -1, 128, 4)                  # [B, R, 128, 4]
-        nr = rb.shape[1]
-        oh_blk = jax.nn.one_hot(blk, nr, dtype=rb.dtype)  # [B, k, R]
-        oh_lane = jax.nn.one_hot(lane, 128, dtype=rb.dtype)  # [B, k, 128]
-        rows = jnp.einsum("bkr,brlp->bklp", oh_blk, rb)   # [B, k, 128, 4]
-        preds = jnp.einsum("bkl,bklp->bkp", oh_lane, rows).astype(jnp.float32)
+        preds = pick_rows_onehot(r, idx).astype(jnp.float32)
         return vals.sum() + preds.sum() + ov.sum()
 
     arms = {"A:idx+row-gather": jax.jit(arm_a),

@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ..ops.nms import (iom_chain_suppress, nms_keep_mask,
                         nms_keep_mask_bucketed, topk_by_score)
-from ..ops.select import block_topk_indices
+from ..ops.select import block_topk_indices, pick_rows_onehot
 from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_chw
 from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
                           adaptive_pool_full_s2d2, adaptive_pool_full_s2d4,
@@ -460,7 +460,7 @@ def _select_topk(scores, keep, k, *arrays):
 def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                  thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None,
                  crop_engine=None, pnet_s2d=False, pnet_tail=None,
-                 pnet_stem=None):
+                 pnet_stem=None, stage1_pick=None):
     """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
     [B, out, 5, 2], valid, counts) — counts are true candidate totals per
     stage for host-side overflow detection.
@@ -496,6 +496,13 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     module/module; throughput-mode defaults follow the on-chip A/Bs in
     docs/ROADMAP.md). ``pnet_s2d=True`` is the deprecated alias for
     ``pnet_stem="s2d"``.
+
+    ``stage1_pick`` selects how the k winners' regression rows leave the
+    full candidate axis: ``"gather"`` (``take_along_axis`` k-row gather,
+    default) or ``"onehot"`` (``ops.select.pick_rows_onehot`` — gather-free
+    two-stage one-hot einsum, the fallback if row-gathers on [B, ~3M, 4]
+    run at the pathological rate; A/B: tools/profile_gather.py). Both are
+    exact.
     """
     b, h, w = frames_u8.shape[:3]
     t1, t2, t3 = thresholds
@@ -601,7 +608,10 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             jnp.floor((2.0 * wi + 1.0) / sc), jnp.floor((2.0 * hi + 1.0) / sc),
             jnp.floor((2.0 * wi + 12.0) / sc), jnp.floor((2.0 * hi + 12.0) / sc),
         ], axis=-1)                                               # [B, k1, 4]
-        preds = jnp.take_along_axis(reg, idx[..., None], axis=1).astype(jnp.float32)
+        if stage1_pick == "onehot":
+            preds = pick_rows_onehot(reg, idx).astype(jnp.float32)
+        else:
+            preds = jnp.take_along_axis(reg, idx[..., None], axis=1).astype(jnp.float32)
         keep = _per_image_nms(boxes, scores, valid, 0.5)
         k1p = min(caps.post1, k1)
         v, boxes, scores, preds = _select_topk(scores, keep, k1p, boxes, scores, preds)

@@ -86,6 +86,36 @@ def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf):
     return out_vals, out_sel, overflow
 
 
+def pick_rows_onehot(payload, idx):
+    """Gather-free k-row pick: ``payload[b, idx[b, k], :]`` as two one-hot
+    contractions (matmul-shaped, no gathers).
+
+    ``payload``: [B, D, P]; ``idx``: [B, k] int32 flat indices into D.
+    Returns [B, k, P] in ``payload.dtype``. Exact — a one-hot row of the
+    contraction just copies the selected value (f32 accumulation).
+
+    This is the fallback formulation for TPU stacks where row-gathers on a
+    huge candidate axis run at the pathological ~1.5 us/row rate instead of
+    the ~5.5 ns/element floor (ROADMAP watch item; A/B in
+    tools/profile_gather.py arm C vs ``take_along_axis`` arm A): the row is
+    located block-by-lane — a [B, k, R] one-hot picks the 128-row block, a
+    [B, k, 128] one-hot picks the lane within it — so the expensive axis is
+    only ever touched by MXU-tileable einsums.
+    """
+    b, d, p = payload.shape
+    blk = idx // BLOCK
+    lane = idx % BLOCK
+    rpad = jnp.pad(payload, ((0, 0), (0, (-d) % BLOCK), (0, 0)))
+    rb = rpad.reshape(b, -1, BLOCK, p)                     # [B, R, 128, P]
+    nr = rb.shape[1]
+    oh_blk = jax.nn.one_hot(blk, nr, dtype=rb.dtype)       # [B, k, R]
+    oh_lane = jax.nn.one_hot(lane, BLOCK, dtype=rb.dtype)  # [B, k, 128]
+    rows = jnp.einsum("bkr,brlp->bklp", oh_blk, rb,
+                      precision=lax.Precision.HIGHEST)     # [B, k, 128, P]
+    return jnp.einsum("bkl,bklp->bkp", oh_lane, rows,
+                      precision=lax.Precision.HIGHEST)
+
+
 def block_topk_indices(scores, k, per_block=32, pad_value=-jnp.inf):
     """Like ``block_topk_select`` but returns flat INDICES instead of a
     carried payload: (vals [B, k] descending, idx [B, k] int32, overflow [B]).
