@@ -196,13 +196,16 @@ def bench_embedding_e2e(n_faces=256 if not SMOKE else 32, batch=128):
     return len(paths) / (time.perf_counter() - t0)
 
 
-def bench_pipeline_at_device_rate(n_frames=N_SLOW, batch_size=8):
+def bench_pipeline_at_device_rate(det_model="yolo", style="live",
+                                  n_frames=N_SLOW, batch_size=8):
     """The REAL pipeline loop (submit/collect software pipelining, box
     filter/adjust/crop, prev-5 dedup, async JPEG writes) driven with
     PRE-STAGED device input batches — isolating the pipeline MACHINERY from
     this VM's dev-tunnel H2D (~tens of MB/s; PCIe on real hosts) and 1-core
     decode, both environment artifacts. Compare with
-    bench_device_graph_only: the gap is the true pipeline overhead."""
+    bench_device_graph_only: the gap is the true pipeline overhead.
+    Parametrized over all three detector paths — baseline config 1 is an
+    MTCNN run, so the MTCNN figure is the one that answers it."""
     import jax
     import jax.numpy as jnp
 
@@ -215,9 +218,11 @@ def bench_pipeline_at_device_rate(n_frames=N_SLOW, batch_size=8):
     from videotofaces_tpu.utils import weights as W
 
     config.set_precision("default")
-    det = get_detector_model("live", "yolo", None, batch_size=batch_size, bf16=True)
-    if not osp.isfile(osp.join(W.weights_dir(), "yolov3_wider.npz")):
-        _sparsify(det, "yolo")
+    det = get_detector_model(style, det_model, None, batch_size=batch_size, bf16=True)
+    if not osp.isfile(osp.join(W.weights_dir(), "%s.npz" % {
+            "yolo": "yolov3_wider", "rcnn": "frcnn_anime",
+            "mtcnn": "mtcnn_joined"}[det_model])):
+        _sparsify(det, det_model)
 
     video = _video(n_frames)
     reader = open_reader(video)
@@ -260,8 +265,8 @@ def bench_pipeline_at_device_rate(n_frames=N_SLOW, batch_size=8):
         process_stream(_Replay(batches), len(indices), det, criteria,
                        layout, hash_thr=8, timer=timer)
         fps = len(indices) / (time.perf_counter() - t0)
-        print("pipeline-at-device-rate stage breakdown (%d frames):\n%s"
-              % (len(indices), timer.summary()), file=sys.stderr)
+        print("pipeline-at-device-rate [%s] stage breakdown (%d frames):\n%s"
+              % (det_model, len(indices), timer.summary()), file=sys.stderr)
         return fps
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -440,7 +445,13 @@ def main():
             print("bench %s FAILED: %r" % (fn.__name__, e), file=sys.stderr)
             return float("nan")
 
-    pipe_dev = _try(bench_pipeline_at_device_rate)
+    pipe = {"yolo": _try(bench_pipeline_at_device_rate, "yolo", "live",
+                         batch_size=8),
+            "rcnn": _try(bench_pipeline_at_device_rate, "rcnn", "anime",
+                         batch_size=2),
+            "mtcnn": _try(bench_pipeline_at_device_rate, "mtcnn", "live",
+                          batch_size=2)}
+    pipe_dev = pipe["yolo"]
     emb_dev = {k: _try(bench_embed_device, k)
                for k in ("facenet_vgg", "vit_b", "vit_l")}
     emb_prz = _try(bench_embed_device_pallas_resize)
@@ -465,7 +476,8 @@ def main():
               "(uint8 in, resize+backbone+NMS one jitted graph, bf16, "
               "device_get-synced). Pipeline machinery at device rate "
               "(pre-staged inputs, REAL submit/collect+boxfilter+dedup+async "
-              "writes) = %.1f fps. Components on this %d-core/dev-tunnel VM: "
+              "writes): yolo=%.1f rcnn=%.1f mtcnn=%.1f fps. Components on "
+              "this %d-core/dev-tunnel VM: "
               "pipeline loop incl. tunnel H2D yolo=%.1f rcnn=%.1f mtcnn=%.1f "
               "fps; H2D %.1f MB/s (dev tunnel; %.1f fps ceiling — PCIe on "
               "real hosts); host decode %.1f fps/core (parallel decoder "
@@ -473,7 +485,8 @@ def main():
               "graph device_get-synced: facenet=%.0f vit_b=%.0f vit_l=%.0f "
               "(+fused pallas resize-in-graph facenet=%.0f); from disk on "
               "this 1-core host = %.1f"
-              % (*SIZE, pipe_dev, os.cpu_count() or 1, results["yolo"],
+              % (*SIZE, pipe["yolo"], pipe["rcnn"], pipe["mtcnn"],
+                 os.cpu_count() or 1, results["yolo"],
                  results["rcnn"], results["mtcnn"], h2d, h2d / frame_mb,
                  decode_fps, emb_dev["facenet_vgg"], emb_dev["vit_b"],
                  emb_dev["vit_l"], emb_prz, emb))

@@ -112,6 +112,35 @@ def test_gather_dir_refuses_reused_run_id(tmp_path, monkeypatch):
     MH._gather_seq[0] = 0
 
 
+def test_stale_run_dirs_reaped_fresh_kept(tmp_path, monkeypatch):
+    """A long-lived shared gather root must not grow one run dir per job
+    forever: dirs untouched past V2F_GATHER_REAP_HOURS are swept at the
+    first gather of a new run; fresh dirs (possibly concurrent jobs) and the
+    current run's dir survive."""
+    import os
+    import time
+
+    monkeypatch.setenv("V2F_RUN_ID", "fresh")
+    monkeypatch.setenv("V2F_GATHER_REAP_HOURS", "48")
+    old = tmp_path / "run_old"
+    old.mkdir()
+    np.savez(str(old / "g000_h00.npz"), rows=np.zeros((1, 1), np.uint8))
+    past = time.time() - 80 * 3600
+    os.utime(str(old), (past, past))
+    recent = tmp_path / "run_recent"
+    recent.mkdir()  # fresh mtime — possibly a concurrent job
+    MH._gather_seq[0] = 0
+    MH._reaped[0] = False
+    out = MH._exchange_via_dir(str(tmp_path), 0, 1,
+                               {"rows": np.zeros((2, 3), np.uint8)}, timeout=5)
+    assert len(out) == 1 and out[0]["rows"].shape == (2, 3)
+    assert not old.exists(), "stale run dir should be reaped"
+    assert recent.exists(), "fresh run dir must survive"
+    assert (tmp_path / "run_fresh").exists()
+    MH._gather_seq[0] = 0
+    MH._reaped[0] = False
+
+
 def test_grouping_mode_shards_paths_per_host(tmp_path, monkeypatch):
     """mode='grouping' must give each host a DISJOINT face shard — without
     it every host gathers identical copies of every row and the global

@@ -22,14 +22,23 @@ AnimeVIT.wconv, FaceNet.no_classify) are proven equivalent to our converter
 reorders separately in test_checkpoint_reorders_match_reference.
 """
 
+import os.path as osp
 import sys
 import types
 
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip(
+    "torch", reason="spec-vs-reference proofs need torch to run the "
+                    "reference's own modules")
 
 REF_SRC = "/root/reference/src"
+
+if not osp.isdir(osp.join(REF_SRC, "videotofaces")):
+    pytest.skip("reference checkout not present at %s — these proofs can "
+                "only run where the upstream source is mounted" % REF_SRC,
+                allow_module_level=True)
 
 
 def _install_reference():

@@ -72,7 +72,7 @@ class PNet(nn.Module):
         return reg, prob
 
 
-def pnet_s2d_head(pnet_params, x, packed_hw=None):
+def pnet_s2d_head(pnet_params, x, packed_hw=None, cache=None):
     """conv1 (3x3 VALID, 3->10) + PReLU + ceil 2x2 s2 maxpool via space-to-
     depth: the packed conv contracts 12 -> 40 channels at quarter area
     (identical taps), and the stride-2 pool collapses to a masked max over
@@ -85,6 +85,12 @@ def pnet_s2d_head(pnet_params, x, packed_hw=None):
     and ``packed_hw`` is the true unpacked (H, W). Phantom odd-edge phases in
     the packed input only ever feed masked outputs, so their values are
     irrelevant.
+
+    ``cache``: optional dict shared across calls of one forward — the packed
+    weight is a pure function of the params, identical for all ~16 pyramid
+    levels, and its ~144 .at[].set placements would otherwise be re-emitted
+    into the jaxpr per level (trace/compile bloat on the minutes-long
+    dev-tunnel compiles).
     """
     prec = config.get_precision()
     k1 = pnet_params["conv1"]["conv"]["kernel"]       # [3, 3, 3, 10]
@@ -104,22 +110,27 @@ def pnet_s2d_head(pnet_params, x, packed_hw=None):
         s2d = x
     hv, wv = sh - 2, sw - 2                           # VALID conv1 output size
 
-    w2 = jnp.zeros((2, 2, 12, 40), k1.dtype)
-    for pi in (0, 1):
-        for pr in (0, 1):
-            for r in (0, 1):
-                di = 2 * r + pr - pi                  # VALID window offset
-                if not 0 <= di <= 2:
-                    continue
-                for pj in (0, 1):
-                    for pc in (0, 1):
-                        for s in (0, 1):
-                            dj = 2 * s + pc - pj
-                            if not 0 <= dj <= 2:
-                                continue
-                            w2 = w2.at[r, s, pr * 6 + pc * 3:pr * 6 + pc * 3 + 3,
-                                       pi * 20 + pj * 10:pi * 20 + pj * 10 + 10
-                                       ].set(k1[di, dj])
+    if cache is not None and ("w2", dt) in cache:
+        w2 = cache[("w2", dt)]
+    else:
+        w2 = jnp.zeros((2, 2, 12, 40), k1.dtype)
+        for pi in (0, 1):
+            for pr in (0, 1):
+                for r in (0, 1):
+                    di = 2 * r + pr - pi              # VALID window offset
+                    if not 0 <= di <= 2:
+                        continue
+                    for pj in (0, 1):
+                        for pc in (0, 1):
+                            for s in (0, 1):
+                                dj = 2 * s + pc - pj
+                                if not 0 <= dj <= 2:
+                                    continue
+                                w2 = w2.at[r, s, pr * 6 + pc * 3:pr * 6 + pc * 3 + 3,
+                                           pi * 20 + pj * 10:pi * 20 + pj * 10 + 10
+                                           ].set(k1[di, dj])
+        if cache is not None:
+            cache[("w2", dt)] = w2
     y = jax.lax.conv_general_dilated(
         s2d, w2, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
@@ -147,7 +158,7 @@ def pnet_s2d_head(pnet_params, x, packed_hw=None):
     return jnp.maximum(jnp.maximum(p00, p01), jnp.maximum(p10, p11))
 
 
-def pnet_s2d4_stem(pnet_params, packed4, level_hw):
+def pnet_s2d4_stem(pnet_params, packed4, level_hw, cache=None):
     """conv1 + PReLU + ceil 2x2 s2 maxpool with EVERYTHING packed: input is
     the space-to-depth-4 pyramid level (ops/resize.py::adaptive_pool_full_s2d4,
     [B, ceil(sh/4)+1, ceil(sw/4)+1, 48]), output is pool1 ALREADY in the
@@ -178,17 +189,23 @@ def pnet_s2d4_stem(pnet_params, packed4, level_hw):
     hv, wv = sh - 2, sw - 2                           # VALID conv1 output size
 
     # 2x2 packed conv, 48 -> 160: output group g = (pr*2+pc)*4 + (sr*2+sc)
-    # holds full-res phase (qr, qc) = (2*pr+sr, 2*pc+sc)
-    w4 = jnp.zeros((2, 2, 48, 160), k1.dtype)
-    for qr in range(4):
-        for qc in range(4):
-            g = ((qr // 2) * 2 + (qc // 2)) * 4 + ((qr % 2) * 2 + (qc % 2))
-            for dy in range(3):
-                for dx in range(3):
-                    r, p4r = divmod(qr + dy, 4)
-                    s, p4c = divmod(qc + dx, 4)
-                    gi = (p4r * 4 + p4c) * 3
-                    w4 = w4.at[r, s, gi:gi + 3, g * 10:g * 10 + 10].set(k1[dy, dx])
+    # holds full-res phase (qr, qc) = (2*pr+sr, 2*pc+sc). Built once per
+    # forward (``cache``) — identical for every pyramid level.
+    if cache is not None and ("w4", dt) in cache:
+        w4 = cache[("w4", dt)]
+    else:
+        w4 = jnp.zeros((2, 2, 48, 160), k1.dtype)
+        for qr in range(4):
+            for qc in range(4):
+                g = ((qr // 2) * 2 + (qc // 2)) * 4 + ((qr % 2) * 2 + (qc % 2))
+                for dy in range(3):
+                    for dx in range(3):
+                        r, p4r = divmod(qr + dy, 4)
+                        s, p4c = divmod(qc + dx, 4)
+                        gi = (p4r * 4 + p4c) * 3
+                        w4 = w4.at[r, s, gi:gi + 3, g * 10:g * 10 + 10].set(k1[dy, dx])
+        if cache is not None:
+            cache[("w4", dt)] = w4
     y = jax.lax.conv_general_dilated(
         packed4, w4, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
@@ -252,7 +269,8 @@ def _unpack_s2d(y, ph, pw):
     return y.reshape(b, 2 * nh, 2 * nw, c)[:, :ph, :pw]
 
 
-def pnet_s2d_tail(pnet_params, pool1, packed_out=False, packed_in_hw=None):
+def pnet_s2d_tail(pnet_params, pool1, packed_out=False, packed_in_hw=None,
+                  cache=None):
     """conv2 + conv3 (+PReLUs) + cls/reg heads in space-to-depth-2 packed
     form, from the pool1 map. Returns (reg [B, ph, pw, 4], prob [B, ph, pw])
     with ph = P-4, pw = Q-4 — same taps as the module path (unit-tested),
@@ -295,8 +313,19 @@ def pnet_s2d_tail(pnet_params, pool1, packed_out=False, packed_in_hw=None):
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, pe // 2, qe // 2, 40)
     ph, pw = P - 4, Q - 4
 
+    def cached(key, build):
+        # packed weights are pure functions of the params — build once per
+        # forward and reuse across all pyramid levels (see pnet_s2d_head)
+        if cache is not None and (key, dt) in cache:
+            return cache[(key, dt)]
+        w = build()
+        if cache is not None:
+            cache[(key, dt)] = w
+        return w
+
     def packed_pconv(x, name, cin, cout):
-        w = _pack_s2d_conv(p[name]["conv"]["kernel"].astype(dt), cin, cout)
+        w = cached(name, lambda: _pack_s2d_conv(
+            p[name]["conv"]["kernel"].astype(dt), cin, cout))
         y = jax.lax.conv_general_dilated(
             x, w, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
@@ -308,8 +337,10 @@ def pnet_s2d_tail(pnet_params, pool1, packed_out=False, packed_in_hw=None):
     x = packed_pconv(x, "conv3", 16, 32)
 
     # 1x1 heads on packed maps: block-diagonal weights, one matmul each
-    wc = jax.scipy.linalg.block_diag(*([kc[0, 0].astype(dt)] * 4))  # [128, 8]
-    wr = jax.scipy.linalg.block_diag(*([kr[0, 0].astype(dt)] * 4))  # [128, 16]
+    wc = cached("wc", lambda: jax.scipy.linalg.block_diag(
+        *([kc[0, 0].astype(dt)] * 4)))                              # [128, 8]
+    wr = cached("wr", lambda: jax.scipy.linalg.block_diag(
+        *([kr[0, 0].astype(dt)] * 4)))                              # [128, 16]
     cls = jnp.dot(x, wc, precision=prec) + jnp.tile(p["cls"]["bias"].astype(dt), 4)
     reg = jnp.dot(x, wr, precision=prec) + jnp.tile(p["reg"]["bias"].astype(dt), 4)
     nh, nw = cls.shape[1:3]
@@ -477,7 +508,8 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
       so cost scales with real candidates; bucket overflow DROPS candidates
       and is surfaced in counts["stage{2,3}_crop_dropped"];
     - ``"pallas-interpret"``: same path in pallas interpret mode (CPU tests);
-    - None: "pallas" on TPU, "gather" elsewhere.
+    - None: "pallas" on TPU in throughput ("default") precision mode,
+      "gather" elsewhere — parity mode keeps the exact engine.
 
     ``pnet_stem`` / ``pnet_tail`` select how PNet runs per pyramid level
     (tap-identical alternatives, different accumulation order; unit-tested
@@ -508,13 +540,19 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     t1, t2, t3 = thresholds
     scales, sizes = scale_pyramid(h, w, minsize, factor)
     ii = integral_image(frames_u8[..., ::-1])  # RGB, int32, exact
+    fast = config.get_precision_name() == "default"
     if crop_engine is None:
-        crop_engine = "pallas" if jax.default_backend() == "tpu" else "gather"
+        # the pallas engine is a throughput-mode approximation (f32 window
+        # sums, capacity-capped buckets that can DROP candidates): parity
+        # mode keeps the exact int32 integral gathers, like every other
+        # throughput-only shortcut in this graph
+        crop_engine = "pallas" if (fast and jax.default_backend() == "tpu") else "gather"
+    if crop_engine not in ("gather", "pallas", "pallas-interpret"):
+        raise ValueError("unknown crop_engine %r (want 'gather', 'pallas', "
+                         "'pallas-interpret', or None for auto)" % (crop_engine,))
     if crop_engine != "gather":
         frames_chw = pad_frames_chw(jnp.transpose(
             _normalize(frames_u8[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2)))
-
-    fast = config.get_precision_name() == "default"
     if pnet_stem is None:
         # measured-best (tools/profile_pnet_tail.py, production bf16-param
         # trim, batch-2 1080p minsize-5, interleaved): packed+s2d 156.5 ms
@@ -534,6 +572,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     total_cand = jnp.zeros((b,), jnp.int32)
     scale_max = jnp.zeros((b,), jnp.int32)        # per-scale candidate peak
     select_overflow = jnp.zeros((b,), jnp.int32)  # block-select truncation risk
+    wcache = {}  # packed stem/tail weights: built once, shared by all levels
     for sc, (sh, sw) in zip(scales, sizes):
         pool_hw = None
         if pnet_stem == "s2d4":
@@ -544,18 +583,20 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             packed4 = _normalize(adaptive_pool_full_s2d4(ii, (sh, sw), (h, w)))
             if compute_dtype is not None:
                 packed4 = packed4.astype(compute_dtype)
-            pool1, pool_hw = pnet_s2d4_stem(params["pnet"], packed4, (sh, sw))
+            pool1, pool_hw = pnet_s2d4_stem(params["pnet"], packed4, (sh, sw),
+                                            cache=wcache)
         elif pnet_stem == "packed":
             packed = _normalize(adaptive_pool_full_s2d2(ii, (sh, sw), (h, w)))
             if compute_dtype is not None:
                 packed = packed.astype(compute_dtype)
-            pool1 = pnet_s2d_head(params["pnet"], packed, packed_hw=(sh, sw))
+            pool1 = pnet_s2d_head(params["pnet"], packed, packed_hw=(sh, sw),
+                                  cache=wcache)
         else:
             level = _normalize(adaptive_pool_full(ii, (sh, sw), (h, w)))
             if compute_dtype is not None:
                 level = level.astype(compute_dtype)
             if pnet_stem == "s2d":
-                pool1 = pnet_s2d_head(params["pnet"], level)
+                pool1 = pnet_s2d_head(params["pnet"], level, cache=wcache)
             else:
                 pool1 = PNet(to_pool1=True).apply({"params": params["pnet"]}, level)
         if pnet_tail == "s2d":
@@ -566,7 +607,8 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             # copies cost ~22 ms/step in the per-op trace)
             reg_m, prob_m, (ph, pw) = pnet_s2d_tail(params["pnet"], pool1,
                                                     packed_out=True,
-                                                    packed_in_hw=pool_hw)
+                                                    packed_in_hw=pool_hw,
+                                                    cache=wcache)
             nh, nw = prob_m.shape[1:3]
             pr_ = np.array([0, 0, 1, 1])
             pc_ = np.array([0, 1, 0, 1])
@@ -659,10 +701,24 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                           ok1.astype(jnp.int32)], axis=-1)
         crops = adaptive_pool_crops(frames_chw, scal, size, s1, interpret=interp)
         processed = ok1
+
+        def per_image_pick(want, cap):
+            # caps.crops_{mid,big} are PER-IMAGE budgets (Caps docstring):
+            # pick up to ``cap`` per image, not cap*b image-major across the
+            # flat batch (which would starve later images behind one busy
+            # frame). Slots within an image are score-descending
+            # (_select_topk), so the lowest-index tie-break keeps each
+            # image's best-scoring candidates.
+            kk = bk // b
+            c = min(cap, kk)
+            idx, sel = jax.vmap(lambda ww: topk_by_score(
+                ww.astype(jnp.float32), ww, c))(want.reshape(b, kk))
+            flat = idx + (jnp.arange(b, dtype=idx.dtype) * kk)[:, None]
+            return flat.reshape(-1), sel.reshape(-1)
+
         if s2 != s1:
             want = okv & fit2 & ~fit1
-            idx2, sel2 = topk_by_score(want.astype(jnp.float32), want,
-                                       min(caps.crops_mid * b, bk))
+            idx2, sel2 = per_image_pick(want, caps.crops_mid)
             scal2 = jnp.stack([imgidx[idx2], win[idx2, 1], win[idx2, 0],
                                wh[idx2], ww[idx2], sel2.astype(jnp.int32)], axis=-1)
             crops2 = adaptive_pool_crops(frames_chw, scal2, size, s2,
@@ -672,8 +728,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             processed = processed | jnp.zeros(bk, bool).at[tgt].set(True, mode="drop")
         if h > s2[0] or w > s2[1]:
             want = okv & ~fit2
-            idxb, selb = topk_by_score(want.astype(jnp.float32), want,
-                                       min(caps.crops_big * b, bk))
+            idxb, selb = per_image_pick(want, caps.crops_big)
             cb = _normalize(adaptive_pool_boxes_batched(
                 ii, win[idxb], imgidx[idxb], (size, size)))
             tgt = jnp.where(selb, idxb, bk)

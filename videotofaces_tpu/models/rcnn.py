@@ -143,17 +143,21 @@ def rpn_proposals(regs, logs, priors_per_level, canvas_used_hw, lvtop=1000,
             # WITH payload gather lowers to a full variadic sort + long-axis
             # gathers (the same pattern that cost ~20 ms/level in MTCNN) —
             # use the lane-block selector, carrying reg + prior through.
-            # Selection key = sigmoid(logit): same order, and >0 as the
-            # block selector's exact overflow test requires.
+            # Selection key = RAW logit, exactly like the parity branch:
+            # keying on sigmoid(logit) instead would saturate every logit
+            # above ~17 to exactly 1.0 in f32, turning distinct easy
+            # positives into index-order ties and re-ranking the NMS input.
+            # overflow_floor=-inf because every finite logit (negative
+            # included) is a real candidate here.
             pay = jnp.concatenate(
                 [reg, jnp.broadcast_to(jnp.asarray(pri, reg.dtype)[None],
                                        (b, d, 4))], axis=-1)
-            probs, sel, overflow = block_topk_select(
-                jax.nn.sigmoid(log), pay, k, per_block=4)
+            vals, sel, overflow = block_topk_select(
+                log, pay, k, per_block=4, overflow_floor=-jnp.inf)
             select_overflow = select_overflow + overflow
             bx = decode_boxes(sel[..., :4], sel[..., 4:])
-            ob = jnp.maximum(probs, 0.0)                        # -inf pad -> 0
-            vmask = jnp.isfinite(probs)
+            ob = jax.nn.sigmoid(vals)                           # -inf pad -> 0
+            vmask = jnp.isfinite(vals)
         else:
             vals, idx = jax.lax.top_k(log, k)                   # raw-logit order
             sel_reg = jnp.take_along_axis(reg, idx[..., None], axis=1)

@@ -30,10 +30,18 @@ from jax import lax
 BLOCK = 128
 
 
-def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf):
-    """scores: [B, D] (higher = better; invalid entries must be <= 0 or -inf);
-    payload: [B, D, P] float32. Returns (vals [B, k] descending, sel [B, k, P],
-    overflow [B] int32 — candidate blocks that may have been truncated).
+def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf,
+                      overflow_floor=0.0):
+    """scores: [B, D] (higher = better; invalid entries must be <=
+    ``overflow_floor`` or -inf); payload: [B, D, P] float32. Returns
+    (vals [B, k] descending, sel [B, k, P], overflow [B] int32 — candidate
+    blocks that may have been truncated).
+
+    ``overflow_floor`` separates real candidates from invalid filler in the
+    truncation test: leftovers at or below it never count as overflow. The
+    0.0 default fits detector-score keys (invalid = 0); pass ``-jnp.inf``
+    when every finite entry is a real candidate (e.g. raw logits, which can
+    be negative).
     """
     b, d = scores.shape
     p = payload.shape[-1]
@@ -81,7 +89,7 @@ def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf):
     # blocks holding exactly per_block candidates).
     kth = out_vals[:, k - 1]                                   # [B]
     next_best = jnp.max(remaining, axis=-1)                    # [B, R]
-    overflow = jnp.sum((next_best > kth[:, None]) & (next_best > 0.0)
+    overflow = jnp.sum((next_best > kth[:, None]) & (next_best > overflow_floor)
                        & jnp.isfinite(next_best), axis=1).astype(jnp.int32)
     return out_vals, out_sel, overflow
 

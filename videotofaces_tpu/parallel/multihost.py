@@ -117,15 +117,52 @@ def _run_scoped_dir(gdir):
     return osp.join(gdir, "run_" + safe)
 
 
+_reaped = [False]  # stale-run sweep runs once per process
+
+
+def _reap_stale_runs(root, mydir):
+    """Best-effort removal of sibling run_* dirs untouched for longer than
+    ``V2F_GATHER_REAP_HOURS`` (default 48; <=0 disables). Each run's FINAL
+    g-files stay behind by design (no host may delete its last drop before
+    every peer has read it), so a long-lived shared gather root would
+    otherwise grow one run dir per job forever. Age-gating keeps the sweep
+    safe next to concurrent jobs: an active run's dir mtime refreshes on
+    every file drop/delete, so only genuinely abandoned runs qualify; races
+    between hosts sweeping the same dir are harmless (ignore_errors)."""
+    import shutil
+
+    hours = float(os.environ.get("V2F_GATHER_REAP_HOURS", "48"))
+    if hours <= 0:
+        return
+    cutoff = time.time() - hours * 3600.0
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for e in entries:
+        p = osp.join(root, e)
+        if not e.startswith("run_") or p == mydir:
+            continue
+        try:
+            if osp.isdir(p) and os.stat(p).st_mtime < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _exchange_via_dir(gdir, index, count, payload, timeout=300.0):
     """Shared-filesystem all-gather: atomically drop this host's arrays as
     <run dir>/g<seq>_h<index>.npz, poll for everyone else's, load in host
     order. ``payload`` is a dict of arrays. Returns list of dicts, one per
     host."""
+    root = gdir
     gdir = _run_scoped_dir(gdir)
     seq = _gather_seq[0]
     _gather_seq[0] += 1
     os.makedirs(gdir, exist_ok=True)
+    if not _reaped[0]:
+        _reaped[0] = True
+        _reap_stale_runs(root, gdir)
     if seq == 0:
         # within a run-scoped dir, peers' g000 drops are legitimately
         # visible before we look; seq>=1 files can only mean the run id was

@@ -168,9 +168,11 @@ def process_stream(source, n_frames, model, criteria, layout, hash_thr, timer=No
     # the queue its bytes have already landed and collect() doesn't stall on
     # the D2H round trip. Depth 8 measured at device-graph rate on the dev
     # tunnel (8.1 ms/batch-8 vs 64.5 at depth 1, tools/profile_pipeline.py);
-    # host memory held is depth batches of decoded frames (~50 MB per
-    # batch-8 of 1080p).
-    depth = int(os.environ.get("V2F_PIPELINE_DEPTH", "8"))
+    # host memory held peaks at depth+1 batches of decoded frames (~50 MB
+    # per batch-8 of 1080p; the queue reaches depth+1 just before the pop).
+    # Clamped to >= 1: even the most memory-constrained setting keeps one
+    # batch in flight so collect never blocks on its own submit.
+    depth = max(1, int(os.environ.get("V2F_PIPELINE_DEPTH", "8")))
     inflight = deque()  # (handle, frames, indices) awaiting collect
     with AsyncImageWriter() as writer:
 
