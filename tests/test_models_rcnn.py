@@ -99,6 +99,44 @@ def test_rpn_block_select_matches_exact(rng):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_rpn_block_select_saturated_logits_match_exact(rng):
+    """Regression: throughput-mode selection keys on RAW logits. Keying on
+    sigmoid(logit) saturates every logit above ~17 to exactly 1.0 in f32,
+    so distinct easy positives became index-order ties and the fast path
+    re-ranked (and mis-suppressed) them relative to parity. Plant many
+    saturating logits with DESCENDING values at ascending indices so a
+    tie-broken-by-index pick would invert the order."""
+    from videotofaces_tpu import config
+
+    canvas = (96, 128)
+    priors = get_priors(canvas, R.frcnn_bases(), loc="corner", concat=False)
+    b = 2
+    regs, logs = [], []
+    for p in priors:
+        d = p.shape[0]
+        regs.append(rng.normal(0, 0.2, size=(b, d, 4)).astype(np.float32))
+        lg = rng.normal(-1, 1.5, size=(b, d)).astype(np.float32)
+        n_hot = min(40, d // 2)
+        # spread saturating logits across lane blocks, strongest at the
+        # LARGEST index: index-tie-break would pick the weakest first
+        pos = np.linspace(0, d - 1, n_hot).astype(np.int64)
+        lg[:, pos] = 18.0 + np.arange(n_hot, dtype=np.float32)[None, :]
+        logs.append(lg)
+    used = np.asarray([[90.0, 128.0], [96.0, 120.0]], np.float32)
+    args = ([jnp.asarray(r) for r in regs], [jnp.asarray(l) for l in logs],
+            [jnp.asarray(p) for p in priors], jnp.asarray(used))
+
+    with config.precision_scope("highest"):
+        want_b, want_v, _ = R.rpn_proposals(*args, lvtop=64, out_top=48)
+    with config.precision_scope("default"):
+        got_b, got_v, overflow = R.rpn_proposals(*args, lvtop=64, out_top=48)
+    assert int(np.asarray(overflow).max()) == 0
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    v = np.asarray(want_v)
+    np.testing.assert_allclose(np.asarray(got_b)[v], np.asarray(want_b)[v],
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_frcnn_full_forward_smoke(rng):
     from videotofaces_tpu.models.wrappers import FrcnnDetector
 
