@@ -58,7 +58,10 @@ def main(batch=2, h=720, w=1280):
             k = min(lvtop, log.shape[1])
             payload = jnp.concatenate(
                 [reg, jnp.broadcast_to(pri[None], (batch,) + pri.shape)], axis=-1)
-            vals, sel, _of = block_topk_select(log, payload, k, per_block=8)
+            # raw-logit key + overflow_floor=-inf, matching production
+            # (models/rcnn.py::rpn_proposals throughput branch)
+            vals, sel, _of = block_topk_select(log, payload, k, per_block=8,
+                                               overflow_floor=-jnp.inf)
             out.append((decode_boxes(sel[..., :4], sel[..., 4:8]), vals))
         return out
 
