@@ -186,6 +186,40 @@ def test_detect_faces_multifile_prefix(tmp_path):
     assert any(n.startswith("02_") for n in names)
 
 
+def test_pipeline_depth_zero_still_pipelines(tmp_path, monkeypatch):
+    """V2F_PIPELINE_DEPTH clamps to >= 1: even at 0 the loop must keep one
+    batch in flight (submit batch i+1 before collecting batch i) — depth 0
+    used to collect each batch immediately after its own submit, serializing
+    host postprocess against device execution."""
+    monkeypatch.setenv("V2F_PIPELINE_DEPTH", "0")
+    calls = []
+
+    class RecordingDetector(FakeDetector):
+        batch_size = 1
+
+        def submit(self, frames):
+            calls.append("submit")
+            return list(frames), len(frames)
+
+        def collect(self, handle):
+            calls.append("collect")
+            frames, _ = handle
+            return FakeDetector.__call__(self, frames)
+
+    video = str(tmp_path / "clip.avi")
+    _write_test_video(video)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    paths = detect_faces([video], RecordingDetector(), FrameSampling(step=1),
+                         BoxCriteria(batch_size=1, scale=(1.0, 1.0, 1.0, 1.0),
+                                     square=False),
+                         OutputLayout(out_dir), hash_thr=None)
+    assert len(paths) >= 1
+    # 3 sampled frames at batch 1: one batch must ride ahead of the collect
+    # point, so the trace starts submit, submit, collect — not submit, collect
+    assert calls[:3] == ["submit", "submit", "collect"], calls
+
+
 def test_packed_hash_array_stays_uint64():
     """Regression: np.stack on Python ints straddling 2^63 promotes to
     float64 and corrupts the low hash bits; the pipeline must build the
