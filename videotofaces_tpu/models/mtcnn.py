@@ -555,13 +555,16 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             _normalize(frames_u8[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2)))
     if pnet_stem is None:
         # measured-best (tools/profile_pnet_tail.py, production bf16-param
-        # trim, batch-2 1080p minsize-5, interleaved): packed+s2d 156.5 ms
-        # < module+module 161.5 < module+s2d 163.9 < packed+module 166.6;
-        # the unpacked s2d stem stays rejected (284.3, fusion loss).
-        pnet_stem = "s2d" if pnet_s2d else ("packed" if fast else "module")
+        # trim, batch-2 1080p minsize-5, interleaved). AFTER the round-3
+        # relayout eliminations (index-only block top-k, bucketed per-scale
+        # NMS) the ranking INVERTED: module+module 133.2 ms < packed+s2d
+        # 161.4 < s2d4+s2d 215.1 — with the selection relayouts gone, XLA's
+        # pooling->conv fusion on the plain layout beats every packed stem
+        # (the pre-elimination matrix read packed+s2d 156.5 < module+module
+        # 161.5). Packed arms stay as tap-identical opt-ins.
+        pnet_stem = "s2d" if pnet_s2d else "module"
     if pnet_tail is None:
-        pnet_tail = "s2d" if (pnet_stem == "s2d4"
-                              or (fast and pnet_stem == "packed")) else "module"
+        pnet_tail = "s2d" if pnet_stem in ("s2d4", "packed") else "module"
     if pnet_stem == "s2d4" and pnet_tail != "s2d":
         raise ValueError("pnet_stem='s2d4' emits packed pool1 — only the "
                          "'s2d' tail can consume it")
