@@ -411,3 +411,87 @@ def test_cascade_s2d4_stem_matches_module_path(rng):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
                                rtol=1e-4, atol=1e-4)
+
+def test_pnet_chw_matches_module(rng):
+    """The channel-major whole-net formulation (pnet_chw) is tap-identical to
+    the module path for both conv1 modes, including odd level sizes (ceil-pool
+    edge windows and odd conv output dims)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"]
+    for sh, sw in [(12, 12), (13, 17), (24, 31), (27, 26)]:
+        x = jnp.asarray(rng.normal(0, 0.5, size=(2, sh, sw, 3)).astype(np.float32))
+        want_reg, want_prob = M.PNet().apply({"params": params}, x)
+        xc = jnp.transpose(x, (0, 3, 1, 2))
+        for mode in ("dot", "fma"):
+            cache = {}
+            got_reg, got_prob = M.pnet_chw(params, xc, cache=cache, conv1_mode=mode)
+            np.testing.assert_allclose(
+                np.asarray(jnp.transpose(got_reg, (0, 2, 3, 1))),
+                np.asarray(want_reg), rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(got_prob), np.asarray(want_prob),
+                                       rtol=1e-5, atol=1e-5)
+            # second call reuses the cached reshaped weights
+            got_reg2, _ = M.pnet_chw(params, xc, cache=cache, conv1_mode=mode)
+            np.testing.assert_array_equal(np.asarray(got_reg), np.asarray(got_reg2))
+
+
+def test_cascade_chw_matches_module_path(rng):
+    """Full cascade with the channel-plane PNet (pnet_stem='chw') reproduces
+    the module path's detections, including odd frame sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    for fh, fw in [(64, 96), (63, 97)]:
+        frames = jnp.asarray(rng.integers(0, 255, size=(1, fh, fw, 3)).astype(np.uint8))
+        ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", pnet_stem="module",
+                             pnet_tail="module")
+        assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+        got = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", pnet_stem="chw")
+        v = np.asarray(ref[3])
+        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+        np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_cascade_chw_pairing_validated(rng):
+    """pnet_stem='chw' only pairs with the chw tail, and the onehot stage-1
+    pick is rejected (the chw tail gathers from channel planes)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    frames = jnp.zeros((1, 32, 32, 3), jnp.uint8)
+    with pytest.raises(ValueError, match="chw"):
+        M.full_forward(params, frames, minsize=14, pnet_stem="chw",
+                       pnet_tail="module")
+    with pytest.raises(ValueError, match="chw"):
+        M.full_forward(params, frames, minsize=14, pnet_stem="module",
+                       pnet_tail="chw")
+    with pytest.raises(ValueError, match="onehot"):
+        M.full_forward(params, frames, minsize=14, pnet_stem="chw",
+                       stage1_pick="onehot")

@@ -84,3 +84,16 @@ def test_adaptive_pool_full_s2d2_matches_unpacked(rng):
                 nc = (ow - pc + 1) // 2
                 want = ref[:, pr::2, pc::2][:, :nr, :nc]
                 np.testing.assert_allclose(g[:, :nr, :nc], want, rtol=1e-6, atol=1e-5)
+
+
+def test_adaptive_pool_full_chw_matches_nhwc(rng):
+    """The channel-major pyramid pool is bit-identical to adaptive_pool_full
+    (same exact int32 sums and f32 division), just transposed."""
+    frames = rng.integers(0, 256, size=(2, 90, 130, 3)).astype(np.uint8)
+    ii = R.integral_image(jnp.asarray(frames))
+    iic = R.integral_image_chw(jnp.asarray(frames))
+    for oh, ow in [(45, 65), (44, 64), (123, 177), (216, 312)]:
+        ref = np.asarray(R.adaptive_pool_full(ii, (oh, ow), (90, 130)))
+        got = np.asarray(R.adaptive_pool_full_chw(iic, (oh, ow), (90, 130)))
+        assert got.shape == (2, 3, oh, ow)
+        np.testing.assert_array_equal(got.transpose(0, 2, 3, 1), ref)

@@ -55,6 +55,18 @@ def main():
     def pnet_only(stem, tail):
         def fn(p, f):
             ii = integral_image(f[..., ::-1])
+            if stem == "chw":
+                from videotofaces_tpu.ops.resize import (adaptive_pool_full_chw,
+                                                         integral_image_chw)
+                iic = integral_image_chw(f[..., ::-1])
+                outs = []
+                for (sh, sw) in sizes:
+                    lv = M._normalize(adaptive_pool_full_chw(iic, (sh, sw), (h, w)))
+                    mode = "fma" if tail == "fma" else "dot"
+                    reg, prob = M.pnet_chw(p["pnet"], lv.astype(jnp.bfloat16),
+                                           conv1_mode=mode)
+                    outs.append(reg.sum() + prob.sum())
+                return sum(o.astype(jnp.float32) for o in outs)
             outs = []
             for (sh, sw) in sizes:
                 pq = None
@@ -86,16 +98,20 @@ def main():
             out = M.full_forward(p, f, minsize=minsize,
                                  compute_dtype=jnp.bfloat16,
                                  crop_engine="pallas", pnet_stem=stem,
-                                 pnet_tail=tail)
+                                 pnet_tail="chw" if stem == "chw" else tail)
             return sum(jnp.sum(t.astype(jnp.float32))
                        for t in jax.tree.leaves(out[:4]))
         return fn
 
     want = sys.argv[6].split(",") if len(sys.argv) > 6 else None
     arms = {}
-    for stem in ("module", "s2d", "packed", "s2d4"):
-        for tail in ("module", "s2d"):
+    # "chw+dot"/"chw+fma" select pnet_chw's conv1 mode; full_forward always
+    # runs the measured-best mode baked into its chw branch
+    for stem in ("module", "s2d", "packed", "s2d4", "chw"):
+        for tail in ("module", "s2d", "dot", "fma"):
             if stem == "s2d4" and tail != "s2d":
+                continue
+            if (tail in ("dot", "fma")) != (stem == "chw"):
                 continue
             key = "%s+%s" % ({"s2d4": "s2d4"}.get(stem, stem[:3]), tail[:3])
             for scope, builder in (("pnet", pnet_only), ("full", full)):

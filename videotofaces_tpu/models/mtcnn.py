@@ -33,8 +33,9 @@ from ..ops.nms import (iom_chain_suppress, nms_keep_mask,
 from ..ops.select import block_topk_indices, pick_rows_onehot
 from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_chw
 from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
-                          adaptive_pool_full_s2d2, adaptive_pool_full_s2d4,
-                          integral_image)
+                          adaptive_pool_full_chw, adaptive_pool_full_s2d2,
+                          adaptive_pool_full_s2d4, integral_image,
+                          integral_image_chw)
 from .. import config
 from .layers import ConvUnit, PReLU, max_pool2d
 
@@ -353,6 +354,100 @@ def pnet_s2d_tail(pnet_params, pool1, packed_out=False, packed_in_hw=None,
     return _unpack_s2d(reg, ph, pw), _unpack_s2d(prob, ph, pw)[..., 0]
 
 
+def pnet_chw(pnet_params, x, cache=None, conv1_mode="dot"):
+    """Whole PNet (conv1 .. heads) on CHANNEL-MAJOR planes: input is the
+    normalized pyramid level as [B, 3, sh, sw] (``adaptive_pool_full_chw``),
+    output is (reg [B, 4, ph, pw], prob [B, ph, pw]) with ph = P-4, pw = Q-4.
+    Same taps as the module path (unit-tested), different accumulation order.
+
+    Why a third formulation: the per-op trace of the module path
+    (tools/profile_mtcnn_trace.py, 1080p minsize-5 bf16) shows XLA's conv
+    emitter runs PNet's tiny-channel NHWC convs at ~52 GB/s / ~1 TFLOP/s
+    (6% of HBM bandwidth) and spends 21 ms in the pool1 ``reduce_window``
+    alone — all of it channel-minor layout handling around C in {3, 10, 16,
+    32}. On channel planes the minor dims are SPATIAL, so:
+
+    - conv1 is 9 shifted-plane slices contracted in one [27, 10] matmul
+      (``conv1_mode="dot"``) or 27 broadcast FMAs fused into one elementwise
+      pass (``"fma"``) — no layout reformatting either way;
+    - the ceil 2x2 maxpool is a max over 4 strided plane slices;
+    - conv2/conv3 are single matmuls over concatenated shifted slices
+      (K = 90 / 144 in sublanes, spatial in lanes);
+    - both heads are ONE [32, 6] matmul; the 2-way softmax is the exact
+      sigmoid(cls1 - cls0) identity (see ``pnet_s2d_tail``).
+    """
+    prec = config.get_precision()
+    p = pnet_params
+    k1 = p["conv1"]["conv"]["kernel"]             # [3, 3, 3, 10]
+    dt = jnp.promote_types(x.dtype, k1.dtype)
+    x = x.astype(dt)
+    b = x.shape[0]
+
+    def cached(key, build):
+        if cache is not None and (key, dt) in cache:
+            return cache[(key, dt)]
+        w = build()
+        if cache is not None:
+            cache[(key, dt)] = w
+        return w
+
+    def shifted(y, oh, ow):
+        # taps ordered (ky, kx, ci) to match kernel.reshape(9*cin, cout)
+        return jnp.concatenate(
+            [y[:, :, ky:ky + oh, kx:kx + ow]
+             for ky in range(3) for kx in range(3)], axis=1)
+
+    def prelu(y, name):
+        al = p[name]["prelu"]["alpha"].astype(dt)[None, :, None, None]
+        return jnp.maximum(y, 0) + al * jnp.minimum(y, 0)
+
+    def conv_dot(y, name, cin, cout):
+        oh, ow = y.shape[2] - 2, y.shape[3] - 2
+        w = cached(name, lambda: p[name]["conv"]["kernel"]
+                   .astype(dt).reshape(9 * cin, cout))
+        out = jnp.einsum("bkyx,ko->boyx", shifted(y, oh, ow), w,
+                         precision=prec)
+        return prelu(out + p[name]["conv"]["bias"].astype(dt)[None, :, None, None],
+                     name)
+
+    # conv1 (3 -> 10): K=27 is too narrow to feed the MXU well either way;
+    # "fma" trades the patch-tensor traffic for a 27-term elementwise fusion
+    sh, sw = x.shape[2], x.shape[3]
+    hv, wv = sh - 2, sw - 2
+    if conv1_mode == "fma":
+        b1 = p["conv1"]["conv"]["bias"].astype(dt)
+        y = jnp.broadcast_to(b1[None, :, None, None], (b, 10, hv, wv))
+        for ky in range(3):
+            for kx in range(3):
+                for ci in range(3):
+                    y = y + (x[:, ci:ci + 1, ky:ky + hv, kx:kx + wv]
+                             * k1[ky, kx, ci].astype(dt)[None, :, None, None])
+        y = prelu(y, "conv1")
+    else:
+        y = conv_dot(x, "conv1", 3, 10)
+
+    # ceil-mode 2x2 s2 maxpool as strided plane slices (-inf edge pad)
+    p1h, p1w = -(-hv // 2), -(-wv // 2)
+    neg = jnp.asarray(-jnp.inf, y.dtype)
+    y = jnp.pad(y, ((0, 0), (0, 0), (0, 2 * p1h - hv), (0, 2 * p1w - wv)),
+                constant_values=neg)
+    y = jnp.maximum(jnp.maximum(y[:, :, 0::2, 0::2], y[:, :, 0::2, 1::2]),
+                    jnp.maximum(y[:, :, 1::2, 0::2], y[:, :, 1::2, 1::2]))
+
+    y = conv_dot(y, "conv2", 10, 16)
+    y = conv_dot(y, "conv3", 16, 32)
+
+    wh = cached("heads", lambda: jnp.concatenate(
+        [p["reg"]["kernel"][0, 0].astype(dt),
+         p["cls"]["kernel"][0, 0].astype(dt)], axis=-1))            # [32, 6]
+    bh = jnp.concatenate([p["reg"]["bias"], p["cls"]["bias"]]).astype(dt)
+    out = (jnp.einsum("bcyx,co->boyx", y, wh, precision=prec)
+           + bh[None, :, None, None])
+    reg = out[:, :4]
+    prob = jax.nn.sigmoid(out[:, 5] - out[:, 4])      # == softmax(cls)[..., 1]
+    return reg, prob
+
+
 def _flatten_whc(x):
     """torch's permute(0, 3, 2, 1)+flatten (mtcnn.py:68): (w, h, c) ordering."""
     return jnp.transpose(x, (0, 2, 1, 3)).reshape(x.shape[0], -1)
@@ -520,9 +615,13 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
       quarter area — but the s2d transpose breaks pooling->conv1 fusion);
       stem "packed": the pyramid pooling itself emits the s2d layout
       (``adaptive_pool_full_s2d2`` — pack lives in the gather indices, no
-      transpose, full-res maps never exist) feeding ``pnet_s2d_head``.
+      transpose, full-res maps never exist) feeding ``pnet_s2d_head``;
+      stem "chw": the WHOLE net on channel-major planes (``pnet_chw`` —
+      the pyramid pooling emits [B, 3, sh, sw], convs are shifted-slice
+      matmuls, pool is a strided-slice max; pairs only with tail "chw").
     - tail "module": conv2..heads via the module; tail "s2d":
-      ``pnet_s2d_tail`` packed convs.
+      ``pnet_s2d_tail`` packed convs; tail "chw": selection reads the
+      plane-major maps the chw stem produced.
 
     None = measured-best for the precision mode (parity mode always runs
     module/module; throughput-mode defaults follow the on-chip A/Bs in
@@ -564,10 +663,19 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         # 161.5). Packed arms stay as tap-identical opt-ins.
         pnet_stem = "s2d" if pnet_s2d else "module"
     if pnet_tail is None:
-        pnet_tail = "s2d" if pnet_stem in ("s2d4", "packed") else "module"
+        pnet_tail = ("chw" if pnet_stem == "chw"
+                     else "s2d" if pnet_stem in ("s2d4", "packed") else "module")
     if pnet_stem == "s2d4" and pnet_tail != "s2d":
         raise ValueError("pnet_stem='s2d4' emits packed pool1 — only the "
                          "'s2d' tail can consume it")
+    if (pnet_stem == "chw") != (pnet_tail == "chw"):
+        raise ValueError("pnet_stem='chw' runs the whole PNet on channel "
+                         "planes — it pairs only with pnet_tail='chw'")
+    if pnet_tail == "chw" and stage1_pick == "onehot":
+        raise ValueError("stage1_pick='onehot' expects candidate-major reg "
+                         "payloads; the chw tail gathers from channel planes")
+    if pnet_stem == "chw":
+        ii_chw = integral_image_chw(frames_u8[..., ::-1])
     counts = {}
 
     # ---- stage 1: proposal network over the pyramid -------------------------
@@ -588,6 +696,14 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                 packed4 = packed4.astype(compute_dtype)
             pool1, pool_hw = pnet_s2d4_stem(params["pnet"], packed4, (sh, sw),
                                             cache=wcache)
+        elif pnet_stem == "chw":
+            # whole net on channel-major planes: spatial dims stay minor, so
+            # nothing pays XLA's tiny-channel conv/pool layout handling
+            # (pnet_chw docstring; ~52 GB/s on the module path's hot ops)
+            level_chw = _normalize(adaptive_pool_full_chw(ii_chw, (sh, sw), (h, w)))
+            if compute_dtype is not None:
+                level_chw = level_chw.astype(compute_dtype)
+            reg_m, prob_m = pnet_chw(params["pnet"], level_chw, cache=wcache)
         elif pnet_stem == "packed":
             packed = _normalize(adaptive_pool_full_s2d2(ii, (sh, sw), (h, w)))
             if compute_dtype is not None:
@@ -602,7 +718,15 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                 pool1 = pnet_s2d_head(params["pnet"], level, cache=wcache)
             else:
                 pool1 = PNet(to_pool1=True).apply({"params": params["pnet"]}, level)
-        if pnet_tail == "s2d":
+        if pnet_tail == "chw":
+            # reg_m [B, 4, ph, pw] / prob_m [B, ph, pw] already computed by
+            # the chw stem branch; prob's flat index order matches the module
+            # path exactly (row-major y, x), only reg is plane-major
+            ph, pw = prob_m.shape[1:3]
+            d = ph * pw
+            xy_of = lambda idx: ((idx % pw).astype(jnp.float32),
+                                 (idx // pw).astype(jnp.float32))
+        elif pnet_tail == "s2d":
             # packed outputs: selection runs straight on the phase-packed
             # layout (flat index f = (I*nw + J)*4 + p, p = pr*2+pc at
             # unpacked (2I+pr, 2J+pc)) — the unpacked full-res maps are
@@ -631,7 +755,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         # winners' rows are ever converted (an f32 convert of the full
         # [B, 3M, 4] map is an ~8 ms copy on the largest 1080p/minsize-5
         # level, per-op trace tools/profile_mtcnn_trace.py)
-        reg = reg_m.reshape(b, d, 4)
+        reg = reg_m.reshape(b, 4, d) if pnet_tail == "chw" else reg_m.reshape(b, d, 4)
         flat_prob = prob_m.astype(jnp.float32).reshape(b, d)
         masked = jnp.where(flat_prob >= t1, flat_prob, 0.0)
         level_cand = jnp.sum(masked > 0.0, axis=1).astype(jnp.int32)
@@ -653,7 +777,12 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             jnp.floor((2.0 * wi + 1.0) / sc), jnp.floor((2.0 * hi + 1.0) / sc),
             jnp.floor((2.0 * wi + 12.0) / sc), jnp.floor((2.0 * hi + 12.0) / sc),
         ], axis=-1)                                               # [B, k1, 4]
-        if stage1_pick == "onehot":
+        if pnet_tail == "chw":
+            # plane-major reg: gather the k1 winners from each of the 4
+            # planes, then a tiny [B, 4, k1] -> [B, k1, 4] transpose
+            preds = jnp.take_along_axis(
+                reg, idx[:, None, :], axis=2).transpose(0, 2, 1).astype(jnp.float32)
+        elif stage1_pick == "onehot":
             preds = pick_rows_onehot(reg, idx).astype(jnp.float32)
         else:
             preds = jnp.take_along_axis(reg, idx[..., None], axis=1).astype(jnp.float32)

@@ -182,6 +182,40 @@ def adaptive_pool_full_s2d4(ii, out_hw, true_hw):
     return jnp.concatenate(outs, axis=-1)
 
 
+def integral_image_chw(frames, dtype=jnp.int32):
+    """Channel-major ``integral_image``: [B, H, W, C] -> [B, C, H+1, W+1].
+
+    The transpose happens on the small uint8 input (one [B, H, W, C] ->
+    [B, C, H, W] relayout), after which every consumer works on channel
+    plane tensors whose minor dims are spatial — the layout the CHW PNet
+    formulation (models/mtcnn.py::pnet_chw) is built around: no channel-
+    padding or width-in-sublane reformatting around tiny-channel maps.
+    """
+    x = jnp.transpose(frames.astype(dtype), (0, 3, 1, 2))
+    s = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
+    return jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(1, 0), (1, 0)])
+
+
+def adaptive_pool_full_chw(ii_chw, out_hw, true_hw):
+    """``adaptive_pool_full`` over a channel-major integral image.
+
+    ii_chw: [B, C, H+1, W+1] (``integral_image_chw``); returns
+    [B, C, oh, ow] float32 window averages — numerically identical to
+    ``adaptive_pool_full`` (exact int32 sums, one f32 division), just in
+    plane layout. Same static-boundary gathers along the two minor axes.
+    """
+    h, w = true_hw
+    oh, ow = out_hw
+    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
+    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+    rows = jnp.take(ii_chw, ye, axis=-2) - jnp.take(ii_chw, ys, axis=-2)
+    sums = jnp.take(rows, xe, axis=-1) - jnp.take(rows, xs, axis=-1)
+    area = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(np.float32)
+    return sums.astype(jnp.float32) / area
+
+
 def adaptive_pool_boxes_batched(ii, boxes_xyxy, imgidx, out_size):
     """``adaptive_pool_boxes`` over a batch of integral images.
 
