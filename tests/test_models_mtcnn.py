@@ -495,3 +495,99 @@ def test_cascade_chw_pairing_validated(rng):
     with pytest.raises(ValueError, match="onehot"):
         M.full_forward(params, frames, minsize=14, pnet_stem="chw",
                        stage1_pick="onehot")
+
+
+def test_cascade_stacked_stage1_nms_matches_level(rng):
+    """stage1_nms='stacked' (one batched [B*L, K] fixpoint over all pyramid
+    levels) reproduces the per-level path's detections exactly — the rows
+    are independent problems, padded slots are invalid — including odd frame
+    sizes and multi-image batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=16, cross=64, stage2=48, stage3=24, out=16)
+    for bsz, fh, fw in [(1, 64, 96), (2, 63, 97)]:
+        frames = jnp.asarray(rng.integers(0, 255, size=(bsz, fh, fw, 3)).astype(np.uint8))
+        ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", stage1_nms="level")
+        assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+        got = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", stage1_nms="stacked")
+        v = np.asarray(ref[3])
+        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+        np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
+                                   rtol=1e-4, atol=1e-4)
+    import pytest
+    with pytest.raises(ValueError, match="stage1_nms"):
+        M.full_forward(params, jnp.zeros((1, 32, 32, 3), jnp.uint8),
+                       minsize=14, stage1_nms="bogus")
+
+
+def test_pnet_pallas_kernel_matches_module(rng):
+    """The fused Pallas PNet kernel (interpret mode) is tap-identical to the
+    flax module at f32, including odd level sizes (ceil-pool edges in both
+    axes), multi-tile rows, and the phase-split input layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.ops.pallas_pnet import (pack_pnet_weights,
+                                                  phase_split_level,
+                                                  pnet_level)
+
+    params = M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"]
+    packed = pack_pnet_weights(params, jnp.float32)
+    for sh, sw in [(24, 31), (13, 17), (64, 96), (90, 130)]:
+        x = rng.normal(0, 0.5, size=(2, sh, sw, 3)).astype(np.float32)
+        want_reg, want_prob = M.PNet().apply({"params": params}, jnp.asarray(x))
+        xc = phase_split_level(jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)))
+        reg, prob = pnet_level(packed, xc, (sh, sw), to=8, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(reg), np.asarray(want_reg).transpose(0, 3, 1, 2),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(prob), np.asarray(want_prob),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_cascade_pallas_pnet_matches_module_path(rng):
+    """Full cascade with the fused Pallas PNet stem (pnet_stem=
+    'pallas-interpret', phase-split pyramid pool) reproduces the module
+    path's detections, including odd frame sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    for fh, fw in [(64, 96), (63, 97)]:
+        frames = jnp.asarray(rng.integers(0, 255, size=(1, fh, fw, 3)).astype(np.uint8))
+        ref = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", pnet_stem="module",
+                             pnet_tail="module")
+        assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+        got = M.full_forward(params, frames, minsize=14, caps=caps,
+                             crop_engine="gather", pnet_stem="pallas-interpret")
+        v = np.asarray(ref[3])
+        np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+        np.testing.assert_allclose(np.asarray(got[0])[v], np.asarray(ref[0])[v],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
+                                   rtol=1e-4, atol=1e-4)

@@ -97,3 +97,20 @@ def test_adaptive_pool_full_chw_matches_nhwc(rng):
         got = np.asarray(R.adaptive_pool_full_chw(iic, (oh, ow), (90, 130)))
         assert got.shape == (2, 3, oh, ow)
         np.testing.assert_array_equal(got.transpose(0, 2, 3, 1), ref)
+
+
+def test_adaptive_pool_full_chw_phase_matches_chw(rng):
+    """The phase-split pyramid pool's blocks are bit-identical to the plain
+    chw pool's even/odd columns (pure gather reordering), pads finite."""
+    from videotofaces_tpu.ops.pallas_pnet import phase_block_w
+
+    frames = rng.integers(0, 256, size=(2, 90, 130, 3)).astype(np.uint8)
+    iic = R.integral_image_chw(jnp.asarray(frames))
+    for oh, ow in [(45, 65), (44, 64), (123, 177)]:
+        ref = np.asarray(R.adaptive_pool_full_chw(iic, (oh, ow), (90, 130)))
+        got = np.asarray(R.adaptive_pool_full_chw_phase(iic, (oh, ow), (90, 130)))
+        wb = phase_block_w(ow)
+        assert got.shape == (2, 3, oh, 2 * wb)
+        np.testing.assert_array_equal(got[..., :(ow + 1) // 2], ref[..., 0::2])
+        np.testing.assert_array_equal(got[..., wb:wb + ow // 2], ref[..., 1::2])
+        assert np.isfinite(got).all()

@@ -32,10 +32,11 @@ from ..ops.nms import (iom_chain_suppress, nms_keep_mask,
                         nms_keep_mask_bucketed, topk_by_score)
 from ..ops.select import block_topk_indices, pick_rows_onehot
 from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_chw
+from ..ops.pallas_pnet import pack_pnet_weights, pnet_level
 from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
-                          adaptive_pool_full_chw, adaptive_pool_full_s2d2,
-                          adaptive_pool_full_s2d4, integral_image,
-                          integral_image_chw)
+                          adaptive_pool_full_chw, adaptive_pool_full_chw_phase,
+                          adaptive_pool_full_s2d2, adaptive_pool_full_s2d4,
+                          integral_image, integral_image_chw)
 from .. import config
 from .layers import ConvUnit, PReLU, max_pool2d
 
@@ -586,7 +587,7 @@ def _select_topk(scores, keep, k, *arrays):
 def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                  thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None,
                  crop_engine=None, pnet_s2d=False, pnet_tail=None,
-                 pnet_stem=None, stage1_pick=None):
+                 pnet_stem=None, stage1_pick=None, stage1_nms=None):
     """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
     [B, out, 5, 2], valid, counts) — counts are true candidate totals per
     stage for host-side overflow detection.
@@ -634,6 +635,16 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     two-stage one-hot einsum, the fallback if row-gathers on [B, ~3M, 4]
     run at the pathological rate; A/B: tools/profile_gather.py). Both are
     exact.
+
+    ``stage1_nms`` selects how the 16 per-scale NMS problems run:
+    ``"level"`` — one bucketed fixpoint per pyramid level, sequential (16
+    while_loops, 16 argsorts); ``"stacked"`` — every level's padded
+    candidate buffer is stacked into ONE [B*L, pre1] batched fixpoint, so
+    the while_loop iteration count is the MAX suppression-chain depth over
+    levels instead of the SUM, and the argsort/scatter bookkeeping runs
+    once. Exact either way (per-row problems are independent; padded slots
+    are invalid and can never be kept). None = measured-best
+    (tools/profile_mtcnn.py A/B).
     """
     b, h, w = frames_u8.shape[:3]
     t1, t2, t3 = thresholds
@@ -653,29 +664,43 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         frames_chw = pad_frames_chw(jnp.transpose(
             _normalize(frames_u8[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2)))
     if pnet_stem is None:
-        # measured-best (tools/profile_pnet_tail.py, production bf16-param
-        # trim, batch-2 1080p minsize-5, interleaved). AFTER the round-3
-        # relayout eliminations (index-only block top-k, bucketed per-scale
-        # NMS) the ranking INVERTED: module+module 133.2 ms < packed+s2d
-        # 161.4 < s2d4+s2d 215.1 — with the selection relayouts gone, XLA's
-        # pooling->conv fusion on the plain layout beats every packed stem
-        # (the pre-elimination matrix read packed+s2d 156.5 < module+module
-        # 161.5). Packed arms stay as tap-identical opt-ins.
-        pnet_stem = "s2d" if pnet_s2d else "module"
+        # measured-best: the fused Pallas PNet (ops/pallas_pnet.py) runs
+        # the whole cascade at 70.9 ms vs 132.6 module-path (batch-2 1080p
+        # minsize-5 bf16, tools/profile_pallas_pnet.py full-vs-module) —
+        # PNet pyramid alone 51.6 vs 113.9. Like the pallas crop engine,
+        # it is throughput-mode-only: parity mode keeps the flax module.
+        # Earlier XLA-level arms (tools/profile_pnet_tail.py, same trim):
+        # module+module 133.2 < packed+s2d 161.4 < s2d4+s2d 215.1 (the
+        # round-3 relayout eliminations inverted the pre-elimination
+        # 156.5-vs-161.5 ranking); the chw XLA formulation lost outright
+        # (conv1 alone ~32-50 ms on the largest level,
+        # tools/profile_pnet_chw.py) and crashes the axon worker when
+        # composed over the pyramid. All stay as tap-identical opt-ins.
+        if pnet_s2d:
+            pnet_stem = "s2d"
+        else:
+            pnet_stem = ("pallas" if (fast and jax.default_backend() == "tpu")
+                         else "module")
+    plane_stem = pnet_stem in ("chw", "pallas", "pallas-interpret")
     if pnet_tail is None:
-        pnet_tail = ("chw" if pnet_stem == "chw"
+        pnet_tail = ("chw" if plane_stem
                      else "s2d" if pnet_stem in ("s2d4", "packed") else "module")
     if pnet_stem == "s2d4" and pnet_tail != "s2d":
         raise ValueError("pnet_stem='s2d4' emits packed pool1 — only the "
                          "'s2d' tail can consume it")
-    if (pnet_stem == "chw") != (pnet_tail == "chw"):
-        raise ValueError("pnet_stem='chw' runs the whole PNet on channel "
-                         "planes — it pairs only with pnet_tail='chw'")
+    if plane_stem != (pnet_tail == "chw"):
+        raise ValueError("plane-major stems ('chw'/'pallas') pair only with "
+                         "pnet_tail='chw' (selection reads channel planes)")
     if pnet_tail == "chw" and stage1_pick == "onehot":
         raise ValueError("stage1_pick='onehot' expects candidate-major reg "
                          "payloads; the chw tail gathers from channel planes")
-    if pnet_stem == "chw":
+    if plane_stem:
         ii_chw = integral_image_chw(frames_u8[..., ::-1])
+    if stage1_nms is None:
+        stage1_nms = "level"
+    if stage1_nms not in ("level", "stacked"):
+        raise ValueError("unknown stage1_nms %r (want 'level', 'stacked', "
+                         "or None for auto)" % (stage1_nms,))
     counts = {}
 
     # ---- stage 1: proposal network over the pyramid -------------------------
@@ -696,14 +721,30 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                 packed4 = packed4.astype(compute_dtype)
             pool1, pool_hw = pnet_s2d4_stem(params["pnet"], packed4, (sh, sw),
                                             cache=wcache)
-        elif pnet_stem == "chw":
+        elif plane_stem:
             # whole net on channel-major planes: spatial dims stay minor, so
             # nothing pays XLA's tiny-channel conv/pool layout handling
-            # (pnet_chw docstring; ~52 GB/s on the module path's hot ops)
-            level_chw = _normalize(adaptive_pool_full_chw(ii_chw, (sh, sw), (h, w)))
-            if compute_dtype is not None:
-                level_chw = level_chw.astype(compute_dtype)
-            reg_m, prob_m = pnet_chw(params["pnet"], level_chw, cache=wcache)
+            # (pnet_chw docstring; ~52 GB/s on the module path's hot ops).
+            # "pallas" runs the fused VMEM-resident kernel (ops/pallas_pnet)
+            # on a column-phase-split level (free gather reordering);
+            # "chw" keeps the XLA shifted-slice formulation.
+            if pnet_stem == "chw":
+                level_chw = _normalize(adaptive_pool_full_chw(ii_chw, (sh, sw), (h, w)))
+                if compute_dtype is not None:
+                    level_chw = level_chw.astype(compute_dtype)
+                reg_m, prob_m = pnet_chw(params["pnet"], level_chw, cache=wcache)
+            else:
+                level_ph = _normalize(adaptive_pool_full_chw_phase(
+                    ii_chw, (sh, sw), (h, w)))
+                if compute_dtype is not None:
+                    level_ph = level_ph.astype(compute_dtype)
+                kdt = level_ph.dtype
+                if ("pnet_packed", kdt) not in wcache:
+                    wcache[("pnet_packed", kdt)] = pack_pnet_weights(
+                        params["pnet"], kdt)
+                reg_m, prob_m = pnet_level(
+                    wcache[("pnet_packed", kdt)], level_ph, (sh, sw),
+                    interpret=(pnet_stem == "pallas-interpret"))
         elif pnet_stem == "packed":
             packed = _normalize(adaptive_pool_full_s2d2(ii, (sh, sw), (h, w)))
             if compute_dtype is not None:
@@ -786,21 +827,54 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             preds = pick_rows_onehot(reg, idx).astype(jnp.float32)
         else:
             preds = jnp.take_along_axis(reg, idx[..., None], axis=1).astype(jnp.float32)
-        keep = _per_image_nms(boxes, scores, valid, 0.5)
-        k1p = min(caps.post1, k1)
-        v, boxes, scores, preds = _select_topk(scores, keep, k1p, boxes, scores, preds)
-        s_boxes.append(boxes)
-        s_scores.append(scores)
-        s_preds.append(preds)
-        s_valid.append(v)
+        if stage1_nms == "stacked":
+            # defer NMS: stack every level's buffer into one batched fixpoint
+            s_boxes.append(boxes)
+            s_scores.append(scores)
+            s_preds.append(preds)
+            s_valid.append(valid)
+        else:
+            keep = _per_image_nms(boxes, scores, valid, 0.5)
+            k1p = min(caps.post1, k1)
+            v, boxes, scores, preds = _select_topk(scores, keep, k1p, boxes, scores, preds)
+            s_boxes.append(boxes)
+            s_scores.append(scores)
+            s_preds.append(preds)
+            s_valid.append(v)
     counts["stage1"] = total_cand
     counts["stage1_scale_max"] = scale_max  # pre1 caps PER SCALE, not in total
     counts["stage1_select_overflow"] = select_overflow
 
-    boxes = jnp.concatenate(s_boxes, axis=1)
-    scores = jnp.concatenate(s_scores, axis=1)
-    preds = jnp.concatenate(s_preds, axis=1)
-    valid = jnp.concatenate(s_valid, axis=1)
+    if stage1_nms == "stacked":
+        # ONE [B*L, K] NMS problem set: each row is one (image, level) —
+        # independent, so results are exactly the per-level fixpoints', but
+        # the vmapped while_loop converges in max(chain depth) iterations
+        # over ALL rows instead of running 16 sequential loops, and the
+        # sort/scatter bookkeeping batches. Levels smaller than K pad with
+        # invalid slots (score 0 < t1), which can never be kept.
+        nl = len(s_scores)
+        kmax = max(a.shape[1] for a in s_scores)
+
+        def padk(a):
+            pad = [(0, 0), (0, kmax - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, pad)
+
+        bx = jnp.stack([padk(a) for a in s_boxes], axis=1).reshape(b * nl, kmax, 4)
+        sc_ = jnp.stack([padk(a) for a in s_scores], axis=1).reshape(b * nl, kmax)
+        pr = jnp.stack([padk(a) for a in s_preds], axis=1).reshape(b * nl, kmax, 4)
+        vl = jnp.stack([padk(a) for a in s_valid], axis=1).reshape(b * nl, kmax)
+        keep = _per_image_nms(bx, sc_, vl, 0.5)
+        k1p = min(caps.post1, kmax)
+        v, bx, sc_, pr = _select_topk(sc_, keep, k1p, bx, sc_, pr)
+        boxes = bx.reshape(b, nl * k1p, 4)
+        scores = sc_.reshape(b, nl * k1p)
+        preds = pr.reshape(b, nl * k1p, 4)
+        valid = v.reshape(b, nl * k1p)
+    else:
+        boxes = jnp.concatenate(s_boxes, axis=1)
+        scores = jnp.concatenate(s_scores, axis=1)
+        preds = jnp.concatenate(s_preds, axis=1)
+        valid = jnp.concatenate(s_valid, axis=1)
     # survivors entering the cross-scale stage — caps.cross truncates HERE
     # (the reference keeps all), so the count must be surfaced like the
     # other capacity points

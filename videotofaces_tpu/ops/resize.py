@@ -216,6 +216,39 @@ def adaptive_pool_full_chw(ii_chw, out_hw, true_hw):
     return sums.astype(jnp.float32) / area
 
 
+def adaptive_pool_full_chw_phase(ii_chw, out_hw, true_hw):
+    """``adaptive_pool_full_chw`` emitting COLUMN-PHASE-SPLIT blocks:
+    [B, C, oh, 2*WB] where cols [0, WB) are the level's even columns and
+    [WB, 2*WB) the odd ones (WB = ``pallas_pnet.phase_block_w(ow)``). Pad
+    entries repeat column 0 (finite garbage; the consumer masks them
+    statically). The split is FREE: pure reordering of the pool's column
+    gather indices. This is the fused Pallas PNet's input layout — Mosaic
+    has no strided slices, so the 2x2 pool's lane decimation happens here,
+    in the gather; the conv taps' +1/+2 lane shifts happen inside the
+    kernel as f32 partial-sum rotates (ops/pallas_pnet.py docstring).
+    """
+    from .pallas_pnet import phase_block_w
+
+    h, w = true_hw
+    oh, ow = out_hw
+    wb = phase_block_w(ow)
+    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
+    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+
+    def block(start):
+        idx = np.arange(start, ow, 2)
+        return np.concatenate([idx, np.zeros(wb - len(idx), np.int64)])
+
+    order = np.concatenate([block(0), block(1)])
+    xs, xe = xs[order], xe[order]
+    rows = jnp.take(ii_chw, ye, axis=-2) - jnp.take(ii_chw, ys, axis=-2)
+    sums = jnp.take(rows, xe, axis=-1) - jnp.take(rows, xs, axis=-1)
+    area = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(np.float32)
+    return sums.astype(jnp.float32) / area
+
+
 def adaptive_pool_boxes_batched(ii, boxes_xyxy, imgidx, out_size):
     """``adaptive_pool_boxes`` over a batch of integral images.
 
