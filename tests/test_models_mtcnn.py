@@ -591,3 +591,39 @@ def test_cascade_pallas_pnet_matches_module_path(rng):
                                    rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(np.asarray(got[1])[v], np.asarray(ref[1])[v],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_cascade_pallas_mm_pool_matches_gather_pool(rng):
+    """pallas_pool='mm' (gather-free row-take + MXU column-matmul pyramid
+    pool on <=2-window levels) is BIT-IDENTICAL to the integral-image pool
+    through the whole cascade — minsize < 12 makes the top levels upscale,
+    so the mm path actually routes, while the small levels still take the
+    integral path (mixed routing exercised)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.ops.resize import pool_windows_le2
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    fh, fw = 63, 97
+    _, sizes = M.scale_pyramid(fh, fw, 8)
+    routed = [pool_windows_le2(s, (fh, fw)) for s in sizes]
+    assert any(routed) and not all(routed), routed  # mixed routing
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, fh, fw, 3)).astype(np.uint8))
+    ref = M.full_forward(params, frames, minsize=8, caps=caps,
+                         crop_engine="gather", pnet_stem="pallas-interpret",
+                         pallas_pool="gather")
+    assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+    got = M.full_forward(params, frames, minsize=8, caps=caps,
+                         crop_engine="gather", pnet_stem="pallas-interpret",
+                         pallas_pool="mm")
+    for r, g in zip(ref[:4], got[:4]):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

@@ -114,3 +114,45 @@ def test_adaptive_pool_full_chw_phase_matches_chw(rng):
         np.testing.assert_array_equal(got[..., :(ow + 1) // 2], ref[..., 0::2])
         np.testing.assert_array_equal(got[..., wb:wb + ow // 2], ref[..., 1::2])
         assert np.isfinite(got).all()
+
+
+def test_adaptive_pool_full_chw_phase_mm_exact(rng):
+    """The gather-free mm phase pool is BIT-IDENTICAL to the integral-image
+    phase pool (after normalize) on <=2-wide-window levels, in f32 and in
+    bf16, with all-finite (zero) dead pad columns."""
+    from videotofaces_tpu.ops.pallas_pnet import phase_block_w
+
+    frames = rng.integers(0, 256, size=(2, 45, 61, 3)).astype(np.uint8)
+    iic = R.integral_image_chw(jnp.asarray(frames))
+    fn32 = (jnp.transpose(jnp.asarray(frames), (0, 3, 1, 2))
+            .astype(jnp.float32) - 127.5) / 128.0
+    for oh, ow in [(108, 146), (52, 70), (45, 61), (107, 145)]:
+        assert R.pool_windows_le2((oh, ow), (45, 61))
+        ref = (np.asarray(R.adaptive_pool_full_chw_phase(
+            iic, (oh, ow), (45, 61))) - 127.5) / 128.0
+        wb = phase_block_w(ow)
+        live = np.zeros(2 * wb, bool)
+        live[:(ow + 1) // 2] = True
+        live[wb:wb + ow // 2] = True
+        got = np.asarray(R.adaptive_pool_full_chw_phase_mm(fn32, (oh, ow), (45, 61)))
+        assert got.shape == (2, 3, oh, 2 * wb) and got.dtype == np.float32
+        np.testing.assert_array_equal(got[..., live], ref[..., live])
+        np.testing.assert_array_equal(got[..., ~live], 0.0)
+        got16 = R.adaptive_pool_full_chw_phase_mm(
+            fn32.astype(jnp.bfloat16), (oh, ow), (45, 61))
+        assert got16.dtype == jnp.bfloat16
+        ref16 = jnp.asarray(ref).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(got16.astype(jnp.float32))[..., live],
+            np.asarray(ref16.astype(jnp.float32))[..., live])
+
+
+def test_pool_windows_le2_regimes():
+    """Window-width predicate: true for upsample/identity and mild
+    downsample (< 2x), false once any window can reach 3 wide."""
+    assert R.pool_windows_le2((90, 130), (45, 61))   # 2x upsample
+    assert R.pool_windows_le2((45, 61), (45, 61))    # identity
+    assert R.pool_windows_le2((46, 62), (45, 61))    # slight upsample
+    assert R.pool_windows_le2((30, 61), (45, 61))    # exact-1.5x rows: grid-aligned
+    assert not R.pool_windows_le2((28, 61), (45, 61))   # 1.6x rows: 3-wide windows
+    assert not R.pool_windows_le2((45, 20), (45, 61))   # 3x downsample cols

@@ -4,8 +4,13 @@ Run each mode in its OWN process (a Mosaic fault poisons the axon worker):
 
   level0   kernel alone on the largest pyramid level (pool included)
   pool0    the phase pyramid pool alone on the largest level (no kernel)
+  pool0mm  the gather-free mm phase pool alone on the largest level
   pyr      chw pyramid pool + kernel over ALL levels
-  full     full_forward with pnet_stem='pallas'
+  pyrmm    mm phase pool (gather fallback off-regime) + kernel, ALL levels
+  full     full_forward with pnet_stem='pallas' (pallas_pool default)
+  fullg    full_forward with pnet_stem='pallas', pallas_pool='gather'
+  ab       INTERLEAVED full mm-pool vs gather-pool (one process, the only
+           trustworthy form for <2 ms deltas on the shared chip)
   module   module-path full_forward baseline (same settings)
 
 Usage: python tools/profile_pallas_pnet.py MODE [to] [batch h w minsize]
@@ -25,7 +30,8 @@ from videotofaces_tpu.models import mtcnn as M  # noqa: E402
 from videotofaces_tpu.ops.pallas_pnet import (pack_pnet_weights,  # noqa: E402
                                               pnet_level)
 from videotofaces_tpu.ops.resize import (  # noqa: E402
-    adaptive_pool_full_chw_phase, integral_image_chw)
+    adaptive_pool_full_chw_phase, adaptive_pool_full_chw_phase_mm,
+    integral_image_chw, pool_windows_le2)
 
 
 def main():
@@ -46,43 +52,61 @@ def main():
     scales, sizes = M.scale_pyramid(h, w, minsize)
     print("pyramid: %d levels, largest %s" % (len(scales), sizes[0]), flush=True)
     packed = pack_pnet_weights(params["pnet"], jnp.bfloat16)
-    lvls = sizes if mode == "pyr" else sizes[:1]
+    lvls = sizes if mode in ("pyr", "pyrmm") else sizes[:1]
 
-    if mode in ("level0", "pool0", "pyr"):
+    if mode in ("level0", "pool0", "pool0mm", "pyr", "pyrmm"):
+        use_mm = mode in ("pool0mm", "pyrmm")
+
         def fn(p, f):
             iic = integral_image_chw(f[..., ::-1])
+            fn_chw = jnp.transpose(M._normalize(
+                f[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2)).astype(jnp.bfloat16)
             outs = []
             for (sh, sw) in lvls:
-                lv = M._normalize(adaptive_pool_full_chw_phase(iic, (sh, sw), (h, w)))
-                if mode == "pool0":
-                    outs.append(lv.sum())
+                if use_mm and pool_windows_le2((sh, sw), (h, w)):
+                    lv = adaptive_pool_full_chw_phase_mm(fn_chw, (sh, sw), (h, w))
+                else:
+                    lv = M._normalize(
+                        adaptive_pool_full_chw_phase(iic, (sh, sw), (h, w)))
+                if mode in ("pool0", "pool0mm"):
+                    outs.append(lv.astype(jnp.float32).sum())
                     continue
                 reg, prob = pnet_level(p, lv.astype(jnp.bfloat16), (sh, sw), to=to)
                 outs.append(reg.astype(jnp.float32).sum() + prob.sum())
             return sum(outs)
-        jfn = jax.jit(fn)
+        jfns = {mode: jax.jit(fn)}
         arg = packed
-    elif mode in ("full", "module"):
-        stem = "pallas" if mode == "full" else "module"
-        jfn = jax.jit(lambda p, f: M.full_forward(
-            p, f, minsize=minsize, compute_dtype=jnp.bfloat16, pnet_stem=stem))
+    elif mode in ("full", "fullg", "module", "ab"):
+        def mk(stem, pool):
+            return jax.jit(lambda p, f: M.full_forward(
+                p, f, minsize=minsize, compute_dtype=jnp.bfloat16,
+                pnet_stem=stem, pallas_pool=pool))
+        if mode == "ab":
+            jfns = {"full:mm": mk("pallas", "mm"),
+                    "full:gather": mk("pallas", "gather")}
+        elif mode == "module":
+            jfns = {mode: mk("module", None)}
+        else:
+            jfns = {mode: mk("pallas", "gather" if mode == "fullg" else "mm")}
         arg = params
     else:
         raise SystemExit("unknown mode %r" % mode)
 
-    print("compiling", mode, flush=True)
-    jax.device_get(jfn(arg, frames))
-    print("compiled OK", flush=True)
-    jax.device_get(jfn(arg, frames))
-    q, rounds = 3, 3
+    for name, jfn in jfns.items():
+        print("compiling", name, flush=True)
+        jax.device_get(jfn(arg, frames))
+        print("compiled OK", flush=True)
+        jax.device_get(jfn(arg, frames))
+    q, rounds = 3, (5 if mode == "ab" else 3)
     for _ in range(rounds):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(q):
-            out = jfn(arg, frames)
-        jax.device_get(out)
-        print("%s(to=%d): %.2f ms" % (mode, to, (time.perf_counter() - t0) / q * 1000),
-              flush=True)
+        for name, jfn in jfns.items():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(q):
+                out = jfn(arg, frames)
+            jax.device_get(out)
+            print("%s(to=%d): %.2f ms"
+                  % (name, to, (time.perf_counter() - t0) / q * 1000), flush=True)
 
 
 if __name__ == "__main__":

@@ -35,8 +35,9 @@ from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_ch
 from ..ops.pallas_pnet import pack_pnet_weights, pnet_level
 from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
                           adaptive_pool_full_chw, adaptive_pool_full_chw_phase,
+                          adaptive_pool_full_chw_phase_mm,
                           adaptive_pool_full_s2d2, adaptive_pool_full_s2d4,
-                          integral_image, integral_image_chw)
+                          integral_image, integral_image_chw, pool_windows_le2)
 from .. import config
 from .layers import ConvUnit, PReLU, max_pool2d
 
@@ -587,7 +588,8 @@ def _select_topk(scores, keep, k, *arrays):
 def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                  thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None,
                  crop_engine=None, pnet_s2d=False, pnet_tail=None,
-                 pnet_stem=None, stage1_pick=None, stage1_nms=None):
+                 pnet_stem=None, stage1_pick=None, stage1_nms=None,
+                 pallas_pool=None):
     """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
     [B, out, 5, 2], valid, counts) — counts are true candidate totals per
     stage for host-side overflow detection.
@@ -635,6 +637,14 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     two-stage one-hot einsum, the fallback if row-gathers on [B, ~3M, 4]
     run at the pathological rate; A/B: tools/profile_gather.py). Both are
     exact.
+
+    ``pallas_pool`` selects the pyramid pool feeding the plane-major stems:
+    ``"mm"`` — gather-free ``adaptive_pool_full_chw_phase_mm`` (row
+    take-pairs + {0,1} MXU column matmul) on every level whose pool windows
+    are <= 2 wide (all upscaled levels — 87% of pooled area at minsize 5 on
+    1080p), integral gathers for the rest; ``"gather"`` — integral-image
+    gathers everywhere. Bit-identical (the mm form is exact in bf16 for
+    <=2-wide windows); None = "mm".
 
     ``stage1_nms`` selects how the 16 per-scale NMS problems run:
     ``"level"`` — one bucketed fixpoint per pyramid level, sequential (16
@@ -694,8 +704,21 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     if pnet_tail == "chw" and stage1_pick == "onehot":
         raise ValueError("stage1_pick='onehot' expects candidate-major reg "
                          "payloads; the chw tail gathers from channel planes")
-    if plane_stem:
-        ii_chw = integral_image_chw(frames_u8[..., ::-1])
+    if pallas_pool is None:
+        pallas_pool = "mm"
+    if pallas_pool not in ("mm", "gather"):
+        raise ValueError("unknown pallas_pool %r (want 'mm', 'gather', or "
+                         "None for auto)" % (pallas_pool,))
+    # plane-stem inputs, built lazily: levels in the <=2-window regime pool
+    # straight from the normalized frame planes (gather-free mm form); only
+    # the remaining small levels need the channel-major integral image
+    ii_chw = frames_norm_chw = None
+
+    def _frames_norm_chw():
+        v = jnp.transpose(
+            _normalize(frames_u8[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2))
+        return v.astype(compute_dtype) if compute_dtype is not None else v
+
     if stage1_nms is None:
         stage1_nms = "level"
     if stage1_nms not in ("level", "stacked"):
@@ -729,13 +752,23 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             # on a column-phase-split level (free gather reordering);
             # "chw" keeps the XLA shifted-slice formulation.
             if pnet_stem == "chw":
+                if ii_chw is None:
+                    ii_chw = integral_image_chw(frames_u8[..., ::-1])
                 level_chw = _normalize(adaptive_pool_full_chw(ii_chw, (sh, sw), (h, w)))
                 if compute_dtype is not None:
                     level_chw = level_chw.astype(compute_dtype)
                 reg_m, prob_m = pnet_chw(params["pnet"], level_chw, cache=wcache)
             else:
-                level_ph = _normalize(adaptive_pool_full_chw_phase(
-                    ii_chw, (sh, sw), (h, w)))
+                if pallas_pool == "mm" and pool_windows_le2((sh, sw), (h, w)):
+                    if frames_norm_chw is None:
+                        frames_norm_chw = _frames_norm_chw()
+                    level_ph = adaptive_pool_full_chw_phase_mm(
+                        frames_norm_chw, (sh, sw), (h, w))
+                else:
+                    if ii_chw is None:
+                        ii_chw = integral_image_chw(frames_u8[..., ::-1])
+                    level_ph = _normalize(adaptive_pool_full_chw_phase(
+                        ii_chw, (sh, sw), (h, w)))
                 if compute_dtype is not None:
                     level_ph = level_ph.astype(compute_dtype)
                 kdt = level_ph.dtype

@@ -249,6 +249,79 @@ def adaptive_pool_full_chw_phase(ii_chw, out_hw, true_hw):
     return sums.astype(jnp.float32) / area
 
 
+def pool_windows_le2(out_hw, true_hw):
+    """True when every adaptive-pool window of (true_hw -> out_hw) is at most
+    2 wide on both axes — guaranteed for upscaled levels (out >= true per
+    axis) and exactly the regime where ``adaptive_pool_full_chw_phase_mm``
+    is bit-identical to the integral-image path."""
+    h, w = true_hw
+    oh, ow = out_hw
+
+    def wmax(n_in, n_out):
+        s = (np.arange(n_out, dtype=np.int64) * n_in) // n_out
+        e = -((-(np.arange(1, n_out + 1, dtype=np.int64) * n_in)) // n_out)
+        return int((e - s).max())
+
+    return wmax(h, oh) <= 2 and wmax(w, ow) <= 2
+
+
+def adaptive_pool_full_chw_phase_mm(frames_norm_chw, out_hw, true_hw):
+    """Gather-free ``adaptive_pool_full_chw_phase``: row pooling as the
+    average of two static row-takes, column pooling as a {0,1} MXU matmul
+    that emits the column-phase-split layout directly.
+
+    Input is the NORMALIZED frame planes [B, C, H, W] ((x-127.5)/128 —
+    linear, so it commutes exactly with averaging); output is
+    [B, C, oh, 2*WB] in the input dtype, matching the fused Pallas PNet's
+    layout. Rationale: the integral-image phase pool is ~26 ms of the
+    70.9 ms minsize-5 cascade (per-op trace) — int32 row/column gathers at
+    far below HBM bandwidth. Here the only gather is a contiguous-row take
+    of bf16 planes ((take(ys) + take(ye-1)) / 2 covers both 1- and 2-row
+    windows) and the column step runs on the MXU; dead phase-pad columns
+    get an all-zero matmul column (finite, masked by the kernel).
+
+    EXACT — bit-identical to the integral path after the bf16 cast — when
+    every window is <= 2 wide on both axes (``pool_windows_le2``): the
+    normalized values (2k-255)/256 and their pairwise means (k+k'-255)/256
+    are exactly representable in bf16, and the {0,1} dot accumulates <= 2
+    such terms in f32. Callers must route bigger-window levels to the
+    integral path.
+    """
+    from .pallas_pnet import phase_block_w
+
+    h, w = true_hw
+    oh, ow = out_hw
+    assert pool_windows_le2(out_hw, true_hw), (out_hw, true_hw)
+    wb = phase_block_w(ow)
+    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
+    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+
+    def block(start):
+        idx = np.arange(start, ow, 2)
+        return np.concatenate([idx, np.full(wb - len(idx), -1, np.int64)])
+
+    order = np.concatenate([block(0), block(1)])  # [2*wb]
+    live = order >= 0
+    o = np.maximum(order, 0)
+    cs = np.where(live, xs[o], 0)
+    ce = np.where(live, xe[o], 0)  # dead slots: empty window -> zero column
+
+    rows = (jnp.take(frames_norm_chw, jnp.asarray(ys), axis=-2)
+            + jnp.take(frames_norm_chw, jnp.asarray(ye - 1), axis=-2)) * 0.5
+    ci = jnp.arange(w, dtype=jnp.int32)[:, None]
+    cmat = ((ci >= jnp.asarray(cs)[None, :]) & (ci < jnp.asarray(ce)[None, :]))
+    cmat = cmat.astype(rows.dtype)  # [W, 2*WB]
+    prec = (jax.lax.Precision.HIGHEST if rows.dtype == jnp.float32 else None)
+    out = jax.lax.dot_general(rows, cmat, (((3,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+    invw = jnp.asarray(np.where(live, 1.0 / np.maximum(ce - cs, 1), 0.0),
+                       jnp.float32)
+    return (out * invw).astype(frames_norm_chw.dtype)
+
+
 def adaptive_pool_boxes_batched(ii, boxes_xyxy, imgidx, out_size):
     """``adaptive_pool_boxes`` over a batch of integral images.
 
