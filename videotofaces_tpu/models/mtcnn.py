@@ -704,11 +704,17 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     if pnet_tail == "chw" and stage1_pick == "onehot":
         raise ValueError("stage1_pick='onehot' expects candidate-major reg "
                          "payloads; the chw tail gathers from channel planes")
+    if pallas_pool is not None and pnet_stem not in ("pallas",
+                                                     "pallas-interpret"):
+        raise ValueError("pallas_pool=%r only applies to the fused Pallas "
+                         "stems (pnet_stem='pallas'/'pallas-interpret'); "
+                         "stem %r never pools the phase-split layout"
+                         % (pallas_pool, pnet_stem))
     if pallas_pool is None:
         pallas_pool = "mm"
     if pallas_pool not in ("mm", "gather"):
         raise ValueError("unknown pallas_pool %r (want 'mm', 'gather', or "
-                         "None for auto)" % (pallas_pool,))
+                         "None for the default, 'mm')" % (pallas_pool,))
     # plane-stem inputs, built lazily: levels in the <=2-window regime pool
     # straight from the normalized frame planes (gather-free mm form); only
     # the remaining small levels need the channel-major integral image

@@ -20,6 +20,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pool_bounds_1d(n_in, n_out):
+    """Static adaptive-pool window boundaries along one axis.
+
+    Window i of an adaptive average pool from ``n_in`` to ``n_out`` elements
+    covers [floor(i*n_in/n_out), ceil((i+1)*n_in/n_out)) — the torch
+    ``adaptive_avg_pool2d`` contract. Returns (starts, ends) int64 arrays of
+    length ``n_out``. Single source of truth: ``adaptive_pool_full*``,
+    ``pool_windows_le2`` and the phase/mm variants must all agree on these
+    indices for the mm-vs-integral bit-identity argument to hold.
+    """
+    i = np.arange(n_out, dtype=np.int64)
+    starts = (i * n_in) // n_out
+    ends = -((-((i + 1) * n_in)) // n_out)
+    return starts, ends
+
+
 def bilinear_resize(x, out_hw):
     """Half-pixel bilinear resize over the (-3, -2) spatial axes of an NHWC/HWC array."""
     shape = list(x.shape)
@@ -90,10 +106,8 @@ def adaptive_pool_full(ii, out_hw, true_hw):
     integral image. ii: [B, H+1, W+1, C]; returns [B, oh, ow, C] float32."""
     h, w = true_hw
     oh, ow = out_hw
-    ys = (np.arange(oh, dtype=np.int64) * h) // oh
-    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
-    xs = (np.arange(ow, dtype=np.int64) * w) // ow
-    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+    ys, ye = pool_bounds_1d(h, oh)
+    xs, xe = pool_bounds_1d(w, ow)
     rows = jnp.take(ii, ye, axis=-3) - jnp.take(ii, ys, axis=-3)
     sums = jnp.take(rows, xe, axis=-2) - jnp.take(rows, xs, axis=-2)
     area = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(np.float32)
@@ -117,10 +131,8 @@ def adaptive_pool_full_s2d2(ii, out_hw, true_hw):
     never read them for real outputs."""
     h, w = true_hw
     oh, ow = out_hw
-    ys = (np.arange(oh, dtype=np.int64) * h) // oh
-    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
-    xs = (np.arange(ow, dtype=np.int64) * w) // ow
-    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+    ys, ye = pool_bounds_1d(h, oh)
+    xs, xe = pool_bounds_1d(w, ow)
 
     def phase(idx, n):
         p = idx[n::2]
@@ -158,10 +170,8 @@ def adaptive_pool_full_s2d4(ii, out_hw, true_hw):
     index; consumers mask by the true dims)."""
     h, w = true_hw
     oh, ow = out_hw
-    ys = (np.arange(oh, dtype=np.int64) * h) // oh
-    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
-    xs = (np.arange(ow, dtype=np.int64) * w) // ow
-    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+    ys, ye = pool_bounds_1d(h, oh)
+    xs, xe = pool_bounds_1d(w, ow)
 
     def phase(idx, n, rows):
         p = idx[n::4]
@@ -206,10 +216,8 @@ def adaptive_pool_full_chw(ii_chw, out_hw, true_hw):
     """
     h, w = true_hw
     oh, ow = out_hw
-    ys = (np.arange(oh, dtype=np.int64) * h) // oh
-    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
-    xs = (np.arange(ow, dtype=np.int64) * w) // ow
-    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+    ys, ye = pool_bounds_1d(h, oh)
+    xs, xe = pool_bounds_1d(w, ow)
     rows = jnp.take(ii_chw, ye, axis=-2) - jnp.take(ii_chw, ys, axis=-2)
     sums = jnp.take(rows, xe, axis=-1) - jnp.take(rows, xs, axis=-1)
     area = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(np.float32)
@@ -232,10 +240,8 @@ def adaptive_pool_full_chw_phase(ii_chw, out_hw, true_hw):
     h, w = true_hw
     oh, ow = out_hw
     wb = phase_block_w(ow)
-    ys = (np.arange(oh, dtype=np.int64) * h) // oh
-    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
-    xs = (np.arange(ow, dtype=np.int64) * w) // ow
-    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+    ys, ye = pool_bounds_1d(h, oh)
+    xs, xe = pool_bounds_1d(w, ow)
 
     def block(start):
         idx = np.arange(start, ow, 2)
@@ -258,8 +264,7 @@ def pool_windows_le2(out_hw, true_hw):
     oh, ow = out_hw
 
     def wmax(n_in, n_out):
-        s = (np.arange(n_out, dtype=np.int64) * n_in) // n_out
-        e = -((-(np.arange(1, n_out + 1, dtype=np.int64) * n_in)) // n_out)
+        s, e = pool_bounds_1d(n_in, n_out)
         return int((e - s).max())
 
     return wmax(h, oh) <= 2 and wmax(w, ow) <= 2
@@ -293,10 +298,8 @@ def adaptive_pool_full_chw_phase_mm(frames_norm_chw, out_hw, true_hw):
     oh, ow = out_hw
     assert pool_windows_le2(out_hw, true_hw), (out_hw, true_hw)
     wb = phase_block_w(ow)
-    ys = (np.arange(oh, dtype=np.int64) * h) // oh
-    ye = -((-(np.arange(1, oh + 1, dtype=np.int64) * h)) // oh)
-    xs = (np.arange(ow, dtype=np.int64) * w) // ow
-    xe = -((-(np.arange(1, ow + 1, dtype=np.int64) * w)) // ow)
+    ys, ye = pool_bounds_1d(h, oh)
+    xs, xe = pool_bounds_1d(w, ow)
 
     def block(start):
         idx = np.arange(start, ow, 2)
