@@ -107,6 +107,61 @@ def test_s2d_stem_matches_standard_stem(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_fused_resize_s2d_matches_separate(rng):
+    """bilinear_resize_matmul_s2d == resize-onto-canvas -> BGR flip -> /255
+    -> 2x2 space-to-depth pack (f32-rounding-level: /255 is folded into the
+    interpolation matrix)."""
+    from videotofaces_tpu.ops.resize import (bilinear_resize_matmul,
+                                             bilinear_resize_matmul_s2d)
+
+    x = jnp.asarray(rng.integers(0, 255, size=(2, 108, 192, 3)).astype(np.uint8))
+    out_hw, canvas = (34, 60), (64, 96)
+    ref = bilinear_resize_matmul(x, out_hw, canvas_hw=canvas)
+    ref = ref[..., ::-1] / 255.0
+    b, ch, cw, _ = ref.shape
+    want = ref.reshape(b, ch // 2, 2, cw // 2, 2, 3).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, ch // 2, cw // 2, 12)
+    got = bilinear_resize_matmul_s2d(x, out_hw, canvas)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    # the packed tensor feeds s2d_stem unchanged: same stem output either way
+    m = Y.YOLOv3(1)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    np.testing.assert_allclose(
+        np.asarray(Y.s2d_stem(params["backbone"], got)),
+        np.asarray(Y.s2d_stem(params["backbone"], want)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_packed_down_matches_strided_conv(rng):
+    """PackedDown (s2d pack + 2x2 unstrided conv) is tap-identical to the
+    3x3 stride-2 ConvUnit on the same params, and registers the same tree."""
+    x = jnp.asarray(rng.normal(0, 0.5, size=(2, 24, 40, 16)).astype(np.float32))
+    ref_m = Y.dconv(32, 3, s=2)
+    pk_m = Y.PackedDown(32)
+    p_ref = ref_m.init(jax.random.PRNGKey(0), x)["params"]
+    p_pk = pk_m.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree.map(lambda a: a.shape, p_ref) == \
+        jax.tree.map(lambda a: a.shape, p_pk)
+    np.testing.assert_allclose(
+        np.asarray(pk_m.apply({"params": p_ref}, x)),
+        np.asarray(ref_m.apply({"params": p_ref}, x)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_packed_downs_full_graph_agrees(rng):
+    """YOLOv3(packed_downs=(1, 2, 3)) head maps match the standard graph on
+    the same params."""
+    m = Y.YOLOv3(1)
+    x = jnp.asarray(rng.normal(0, 0.5, size=(1, 64, 96, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    maps_ref = m.apply({"params": params}, x)
+    maps_pk = Y.YOLOv3(1, packed_downs=(1, 2, 3)).apply({"params": params}, x)
+    for a, b in zip(maps_ref, maps_pk):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_yolo_full_forward_smoke(rng):
     frames = rng.integers(0, 255, size=(2, 120, 160, 3)).astype(np.uint8)
     nh, nw = Y.resized_shape(120, 160, max_side=160)

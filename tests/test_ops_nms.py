@@ -99,3 +99,29 @@ def test_bucketed_nms_exact_both_branches(rng):
         for i in range(len(counts)):
             want = np.asarray(N.nms_keep_mask(b[i], s[i], v[i], 0.5))
             np.testing.assert_array_equal(got[i], want)
+
+
+def test_bucketed_presorted_nms_exact_both_branches(rng):
+    """nms_keep_mask_bucketed_presorted == per-image nms_keep_mask on
+    presorted [B, K] buffers with prefix validity, with and without group
+    ids, in both the bucket and full-capacity branches."""
+    for counts in ([5, 0, 17], [5, 300, 17]):  # fits / exceeds bucket=256
+        k = 512
+        bs, vs, gs = [], [], []
+        for n in counts:
+            boxes = random_boxes(rng, max(n, 1), lim=120)[:n]
+            scores = -np.sort(-rng.uniform(0.1, 1.0, size=n).astype(np.float32))
+            order = np.argsort(-scores)
+            b, s, v = _pad(boxes[order], scores[order], k)
+            g = rng.integers(0, 3, size=k).astype(np.int32)
+            bs.append(b), vs.append(v), gs.append(jnp.asarray(g))
+        b, v, g = jnp.stack(bs), jnp.stack(vs), jnp.stack(gs)
+        for gids in (None, g):
+            got = np.asarray(N.nms_keep_mask_bucketed_presorted(
+                b, v, 0.5, group_ids=gids, bucket=256))
+            for i in range(len(counts)):
+                want = np.asarray(N.nms_keep_mask(
+                    b[i], None, v[i], 0.5,
+                    group_ids=None if gids is None else gids[i],
+                    presorted=True))
+                np.testing.assert_array_equal(got[i], want)

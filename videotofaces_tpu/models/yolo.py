@@ -18,11 +18,11 @@ from flax import linen as nn
 
 from ..ops.anchors import get_priors
 from ..ops.boxes import decode_boxes
-from ..ops.nms import nms_keep_mask
+from ..ops.nms import nms_keep_mask_bucketed_presorted
 from ..ops.select import block_topk_select
-from ..ops.resize import bilinear_resize_matmul
+from ..ops.resize import bilinear_resize_matmul, bilinear_resize_matmul_s2d
 from .. import config
-from .layers import ConvUnit
+from .layers import BatchNormInference, ConvUnit
 
 BASES = [
     (32, [(116, 90), (156, 198), (373, 326)]),
@@ -45,15 +45,84 @@ class ResBlock(nn.Module):
         return y + x
 
 
+class _ConvKernel(nn.Module):
+    """Registers a bare conv kernel under the scope name ``conv`` so a
+    reformulated conv block keeps ConvUnit's exact param tree
+    (<name>/conv/kernel + <name>/bn/*) and stays checkpoint-compatible."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class PackedDown(nn.Module):
+    """Darknet's 3x3 stride-2 ConvUnit, computed as space-to-depth + a 2x2
+    stride-1 conv over the phase-packed channels.
+
+    XLA's conv emitter runs the large-spatial stride-2 convs far off the MXU
+    rate (per-op trace tools/profile_yolo_trace.py: stage1_down 1.85 ms vs a
+    ~0.11 ms bf16 roofline, stage2_down 0.54 — the strided input walk defeats
+    its lane tiling). Identical taps, different blocking: pack 2x2 spatial
+    phases into channels (one relayout of the input at ~HBM rate), scatter
+    the 3x3 kernel into a [2, 2, 4*cin, cout] kernel by (tap parity ->
+    phase) — zero where a tap falls outside the 3x3 support — and run the
+    conv unstrided with top/left padding 1/0 (same construction as
+    ``s2d_stem``'s consumption of the packed conv1 output below).
+
+    Param tree matches ConvUnit exactly ([3, 3, cin, cout] kernel + bn):
+    checkpoints load unchanged; the packed kernel is rebuilt per forward
+    (9 sub-kernel placements on a tiny tensor — negligible next to the
+    conv, and it keeps autodiff/loading trivial).
+    """
+
+    cout: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = _ConvKernel((3, 3, cin, self.cout), name="conv")()
+        dt = jnp.promote_types(x.dtype, k.dtype)
+        x, k = x.astype(dt), k.astype(dt)
+        b, h, w, _ = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        packed = x.reshape(b, h // 2, 2, w // 2, 2, cin)
+        packed = packed.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * cin)
+        w0 = jnp.zeros((2, 2, 4 * cin, self.cout), k.dtype)
+        for pi in (0, 1):
+            for r in (0, 1):
+                di = 2 * (r - 1) + pi
+                if not -1 <= di <= 1:
+                    continue
+                for pj in (0, 1):
+                    for s in (0, 1):
+                        dj = 2 * (s - 1) + pj
+                        if not -1 <= dj <= 1:
+                            continue
+                        c0 = (pi * 2 + pj) * cin
+                        w0 = w0.at[r, s, c0:c0 + cin].set(k[di + 1, dj + 1])
+        y = jax.lax.conv_general_dilated(
+            packed, w0, (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=config.get_precision())
+        y = BatchNormInference(self.cout, 1e-5, name="bn")(y)
+        return jnp.where(y >= 0, y, 0.1 * y)
+
+
 class Darknet53(nn.Module):
     """Returns (C3, C4, C5) at strides (8, 16, 32).
 
     ``from_stage0``: the input is already the stage0_down ConvUnit's output
     (the space-to-depth stem, ``s2d_stem`` below, computed conv1 AND
     stage0_down outside the module); conv1/stage0_down params still exist in
-    checkpoints — flax ignores unvisited subtrees."""
+    checkpoints — flax ignores unvisited subtrees.
+
+    ``packed_downs``: stage indices whose stride-2 down conv runs as the
+    tap-identical ``PackedDown`` reformulation (throughput option)."""
 
     from_stage0: bool = False
+    packed_downs: tuple = ()
 
     @nn.compact
     def __call__(self, x):
@@ -64,7 +133,10 @@ class Darknet53(nn.Module):
         outs = []
         for i, (n, c) in enumerate(zip(counts, chans)):
             if not (self.from_stage0 and i == 0):
-                x = dconv(c, 3, s=2, name=f"stage{i}_down")(x)
+                down = (PackedDown(c, name=f"stage{i}_down")
+                        if i in self.packed_downs
+                        else dconv(c, 3, s=2, name=f"stage{i}_down"))
+                x = down(x)
             for j in range(n):
                 x = ResBlock(c, name=f"stage{i}_res{j}")(x)
             outs.append(x)
@@ -122,10 +194,12 @@ class YOLOv3Head(nn.Module):
 class YOLOv3(nn.Module):
     num_classes: int = 1
     from_stage0: bool = False  # input = s2d_stem output (see Darknet53)
+    packed_downs: tuple = ()   # stages whose down conv runs as PackedDown
 
     @nn.compact
     def __call__(self, x):
-        c3, c4, c5 = Darknet53(self.from_stage0, name="backbone")(x)
+        c3, c4, c5 = Darknet53(self.from_stage0, self.packed_downs,
+                               name="backbone")(x)
         y3, y2, y1 = YOLOv3Neck(name="neck")(c3, c4, c5)
         return YOLOv3Head(self.num_classes, name="head")(y3, y2, y1)
 
@@ -158,6 +232,10 @@ def s2d_stem(backbone_params, x):
     Returns stage0_down's output [B, H/2, W/2, 64]; feed it to
     ``YOLOv3(from_stage0=True)``. Numerics: identical taps, XLA may
     re-associate accumulation (float-level differences only).
+
+    ``x`` may arrive ALREADY phase-packed as [B, H/2, W/2, 12] (the fused
+    resize emits this layout directly — ops/resize.py::
+    bilinear_resize_matmul_s2d); the reshape/transpose pack is skipped.
     """
     prec = config.get_precision()
     k1 = backbone_params["conv1"]["conv"]["kernel"]          # [3, 3, 3, 32]
@@ -165,10 +243,13 @@ def s2d_stem(backbone_params, x):
     # match flax nn.Conv's dtype promotion for mixed param/input dtypes
     dt = jnp.promote_types(x.dtype, k1.dtype)
     x, k1, k0 = x.astype(dt), k1.astype(dt), k0.astype(dt)
-    b, h, w, _ = x.shape
-    assert h % 2 == 0 and w % 2 == 0, (h, w)
-    s2d = x.reshape(b, h // 2, 2, w // 2, 2, 3)
-    s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
+    if x.shape[-1] == 12:
+        s2d = x
+    else:
+        b, h, w, _ = x.shape
+        assert h % 2 == 0 and w % 2 == 0, (h, w)
+        s2d = x.reshape(b, h // 2, 2, w // 2, 2, 3)
+        s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12)
 
     w1 = jnp.zeros((3, 3, 12, 128), k1.dtype)
     for pi in (0, 1):                    # output row parity
@@ -223,7 +304,8 @@ def flat_priors_and_strides(canvas_hw):
 
 
 def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=0.05,
-                iou_thr=0.45, pre_topk=1000, out_topk=100, per_block=20):
+                iou_thr=0.45, pre_topk=1000, out_topk=100, per_block=20,
+                nms_bucket=256):
     """Fixed-capacity postprocessing for one batch of head maps.
 
     Candidate semantics match yolo.py:151-175: a candidate is a (location,
@@ -277,8 +359,13 @@ def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=
                          strides=sel[..., 8:9])                    # [B, K, 4]
     class_id = sel[..., 9].astype(jnp.int32)
 
-    keep = jax.vmap(lambda bb, ss, vv, cc: nms_keep_mask(
-        bb, ss, vv, iou_thr, cc, presorted=True))(boxes, top_scores, valid, class_id)
+    # block_topk_select emits descending order with the valid slots as a
+    # prefix, so quiet batches route through a [nms_bucket, nms_bucket] NMS
+    # problem (exact; scalar cond on the batch-max valid count) instead of
+    # always paying the [pre_topk, pre_topk] capacity cost
+    keep = nms_keep_mask_bucketed_presorted(
+        boxes, valid, iou_thr, group_ids=class_id,
+        bucket=pre_topk if nms_bucket is None else nms_bucket)
 
     # final top-out_topk among kept: one short variadic sort with payload
     key = -jnp.where(keep, top_scores, 0.0)
@@ -293,7 +380,7 @@ def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
                  num_classes=1, out_topk=100, orig_hw=None, compute_dtype=None,
-                 s2d=False):
+                 s2d=False, packed_downs=()):
     """uint8 BGR frames -> final detections, one jitted graph.
 
     Mirrors YOLOv3.forward (yolo.py:139-147): keep-ratio resize to 608 max
@@ -317,8 +404,17 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
         # u8->f32 convert into the einsum reads, so the [B, 1080, 1920, 3]
         # f32 tensor is never materialized (that materialization alone
         # costs ~3 ms/batch-8; see tools/profile_preprocess.py).
-        x = bilinear_resize_matmul(frames_u8, (nh, nw), canvas_hw=canvas_hw)
-        x = (x[..., ::-1] / 255.0).astype(compute_dtype)
+        if s2d:
+            # fused resize -> space-to-depth: the interpolation matrices are
+            # parity-split so the four quarter-res phase canvases fall out of
+            # the matmuls directly — the full-res canvas, its bf16 convert,
+            # and the stem's reshape/transpose pack (~1.9 ms/batch-8 of pure
+            # relayout in the per-op trace) never exist
+            x = bilinear_resize_matmul_s2d(
+                frames_u8, (nh, nw), canvas_hw).astype(compute_dtype)
+        else:
+            x = bilinear_resize_matmul(frames_u8, (nh, nw), canvas_hw=canvas_hw)
+            x = (x[..., ::-1] / 255.0).astype(compute_dtype)
     else:
         x = frames_u8[..., ::-1].astype(jnp.float32)  # BGR -> RGB
         if orig_hw is None:
@@ -333,7 +429,8 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
     if s2d:
         # space-to-depth stem: same taps, MXU-friendly blocking (s2d_stem)
         x = s2d_stem(params["backbone"], x)
-    maps = YOLOv3(num_classes, from_stage0=s2d).apply({"params": params}, x)
+    maps = YOLOv3(num_classes, from_stage0=s2d,
+                  packed_downs=tuple(packed_downs)).apply({"params": params}, x)
     maps = [t.astype(jnp.float32) for t in maps]
     boxes, scores, classes, valid, overflow = postprocess(
         maps, priors, strides, num_classes, out_topk=out_topk)

@@ -106,6 +106,42 @@ def nms_keep_mask_bucketed(boxes, scores, valid, iou_thr, bucket=256,
         jnp.arange(b)[:, None], order].set(keep_sorted)
 
 
+def nms_keep_mask_bucketed_presorted(boxes, valid, iou_thr, group_ids=None,
+                                     bucket=256, plus_one=False, mode="iou"):
+    """Batched presorted ``nms_keep_mask`` with quiet-batch bucket routing.
+
+    boxes [B, K, 4] in descending score order with the valid slots forming a
+    PREFIX of each row (the ``block_topk_select`` output contract) — so when
+    the batch-max valid count fits in ``bucket``, slots beyond the bucket are
+    all invalid (they can neither be kept nor suppress anything) and the
+    whole batch can run as a [bucket, bucket] problem. EXACT either way; one
+    scalar ``lax.cond`` picks the branch (a vmapped cond would execute both).
+    YOLO's postprocess NMS pays ~1.5 ms/batch-8 at K=1000 capacity in the
+    per-op trace regardless of how many candidates are real; this bounds the
+    cost by the batch's actual worst row.
+    """
+    b, k = valid.shape
+
+    def run(bb, vv, gg):
+        if gg is None:
+            return jax.vmap(lambda x, v: nms_keep_mask(
+                x, None, v, iou_thr, plus_one=plus_one, mode=mode,
+                presorted=True))(bb, vv)
+        return jax.vmap(lambda x, v, g: nms_keep_mask(
+            x, None, v, iou_thr, group_ids=g, plus_one=plus_one, mode=mode,
+            presorted=True))(bb, vv, gg)
+
+    if k <= bucket:
+        return run(boxes, valid, group_ids)
+    maxc = jnp.max(jnp.sum(valid, axis=1))
+    return lax.cond(
+        maxc <= bucket,
+        lambda: jnp.pad(run(boxes[:, :bucket], valid[:, :bucket],
+                            None if group_ids is None else group_ids[:, :bucket]),
+                        ((0, 0), (0, k - bucket))),
+        lambda: run(boxes, valid, group_ids))
+
+
 def iom_chain_suppress(boxes, scores, valid, iom_thr, group_ids=None, plus_one=True):
     """MTCNN final-stage 'Min' NMS with chain suppression — fully parallel.
 

@@ -406,3 +406,45 @@ def bilinear_resize_matmul(x, out_hw, canvas_hw=None):
     prec = config.get_precision()
     x = jnp.einsum("oh,...hwc->...owc", wh, x, precision=prec)
     return jnp.einsum("pw,...owc->...opc", ww, x, precision=prec)
+
+
+def bilinear_resize_matmul_s2d(frames_u8, out_hw, canvas_hw, bgr_to_rgb=True,
+                               scale=1.0 / 255.0):
+    """Resize-onto-canvas emitting the SPACE-TO-DEPTH phase layout directly.
+
+    Same math as ``bilinear_resize_matmul(frames_u8, out_hw, canvas_hw)``
+    followed by BGR->RGB flip, ``* scale`` and the 2x2 space-to-depth pack
+    (models/yolo.py::s2d_stem's input reshape/transpose) — but the full-res
+    canvas tensor never exists: the row/column interpolation matrices are
+    split by output parity, so each of the four quarter-res phase canvases
+    falls out of its own pair of matmuls, and the pack is a channel concat.
+    The per-op trace (tools/profile_yolo_trace.py) showed the separate
+    reshape+transpose pack plus the full-canvas convert/copies cost
+    ~1.9 ms/batch-8 1080p — pure relayout this formulation deletes.
+
+    ``scale`` is folded into the row matrix (f32-rounding-level difference
+    from multiplying after). Returns [B, ch/2, cw/2, 12] float32 with
+    channel = (out-row parity, out-col parity, rgb) — exactly s2d_stem's
+    packing. Throughput-mode only (the parity path keeps the canonical
+    resize); caller casts to the compute dtype.
+    """
+    from .. import config
+
+    h, w = frames_u8.shape[-3], frames_u8.shape[-2]
+    oh, ow = out_hw
+    ch, cw = canvas_hw
+    assert ch % 2 == 0 and cw % 2 == 0, canvas_hw
+    wh = np.pad(_bilinear_matrix(h, oh), ((0, ch - oh), (0, 0))) * scale
+    ww = np.pad(_bilinear_matrix(w, ow), ((0, cw - ow), (0, 0)))
+    prec = config.get_precision()
+    x = frames_u8.astype(jnp.float32)
+    rows = [jnp.einsum("oh,...hwc->...owc", jnp.asarray(wh[p::2]), x,
+                       precision=prec) for p in (0, 1)]
+    phases = [jnp.einsum("pw,...owc->...opc", jnp.asarray(ww[q::2]), rows[p],
+                         precision=prec)
+              for p in (0, 1) for q in (0, 1)]
+    if bgr_to_rgb:
+        # channel flip on the quarter-res phases (fuses into the concat);
+        # flipping the full-res uint8 input would be a real relayout
+        phases = [t[..., ::-1] for t in phases]
+    return jnp.concatenate(phases, axis=-1)
