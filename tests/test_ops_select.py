@@ -3,6 +3,7 @@ import jax.numpy as jnp
 
 from videotofaces_tpu.ops.select import (block_topk_indices, block_topk_select,
                                           pick_rows_onehot)
+from videotofaces_tpu.ops import select as S
 
 
 def naive(scores, payload, k):
@@ -109,3 +110,25 @@ def test_pick_rows_onehot_bf16_exact(rng):
     want = jnp.take_along_axis(payload, idx[..., None], axis=1)
     np.testing.assert_array_equal(np.asarray(got.astype(jnp.float32)),
                                   np.asarray(want.astype(jnp.float32)))
+
+
+def test_block_top_sort_equals_argmax(rng):
+    """The lane-sort per-block selection is bit-identical to the iterative
+    argmax formulation (values, payload, indices, overflow) including heavy
+    tie traffic (quantized scores, zero filler, -inf pads)."""
+    for trial in range(3):
+        d = int(rng.integers(200, 2000))
+        s = np.round(rng.uniform(0, 1, (2, d)) * 20) / 20
+        s[rng.uniform(size=(2, d)) < 0.6] = 0.0
+        s = jnp.asarray(s.astype(np.float32))
+        pay = jnp.asarray(rng.standard_normal((2, d, 4)).astype(np.float32))
+        k = int(rng.integers(10, 120))
+        for pb in (4, 20):
+            a = S.block_topk_select(s, pay, k, pb, method="argmax")
+            c = S.block_topk_select(s, pay, k, pb, method="sort")
+            for x, y in zip(a, c):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            ai = S.block_topk_indices(s, k, pb, method="argmax")
+            ci = S.block_topk_indices(s, k, pb, method="sort")
+            for x, y in zip(ai, ci):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

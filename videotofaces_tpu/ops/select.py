@@ -9,8 +9,9 @@ of a 13.6 ms YOLO step at D=22743, regardless of formulation (docs/ROADMAP).
 the long axis:
 
 1. reshape scores to [B, R, 128] lane blocks; take the top ``per_block``
-   entries of each block by ITERATIVE ARGMAX (cheap VPU ops — per_block
-   passes over 128 lanes);
+   entries of each block by ITERATIVE ARGMAX (cheap VPU ops; a one-shot
+   stable lane-sort variant exists as method="sort" — measured a wash,
+   see ``_block_top``);
 2. select each winner's payload with a 128-wide one-hot contraction
    (lane-local, so the one-hot tensor is tiny);
 3. run ONE short variadic sort over the ~R*per_block survivors to get the
@@ -30,8 +31,53 @@ from jax import lax
 BLOCK = 128
 
 
+def _block_top(s, per_block, pad_value, method="argmax"):
+    """Per-block top-``per_block`` of ``s`` [B, R, BLOCK].
+
+    Returns (vals [B, R, per_block] descending, lane [B, R, per_block] int32,
+    next_best [B, R] — the best UNSELECTED value per block, for exact
+    overflow counting). Tie order: descending value, ascending lane.
+
+    method="sort": ONE stable variadic lane sort per block instead of
+    ``per_block`` serialized (reduce_max, argmax, compare, select) rounds.
+    Identical results: lax.sort is stable, so equal values keep ascending
+    lane order, exactly the first-hit order iterative argmax produces
+    (bit-equality unit-tested). MEASURED A WASH in the full YOLO graph
+    (tools/profile_select.py, per_block=20: argmax 12.18 vs sort 12.23
+    ms/batch-8 interleaved — the per-op trace had attributed ~2.3 ms to the
+    argmax reduce chain, but those passes overlap other work, another
+    reminder that only interleaved A/Bs are trustworthy here). Default
+    stays "argmax" (round-3 behavior; also fewer ops at MTCNN's
+    per_block=4); "sort" is kept tested for shapes where the trade could
+    differ.
+    """
+    if method == "sort":
+        lanes = jnp.broadcast_to(jnp.arange(BLOCK, dtype=jnp.int32), s.shape)
+        neg = jnp.where(jnp.isfinite(s), -s, jnp.inf)
+        neg_sorted, lane_sorted = jax.lax.sort((neg, lanes), dimension=-1,
+                                               num_keys=1)
+        top_neg = neg_sorted[..., :per_block]
+        vals = jnp.where(jnp.isinf(top_neg), pad_value, -top_neg)
+        nb = neg_sorted[..., per_block] if per_block < BLOCK else \
+            jnp.full(s.shape[:2], jnp.inf, s.dtype)
+        next_best = jnp.where(jnp.isinf(nb), -jnp.inf, -nb)
+        return vals, lane_sorted[..., :per_block], next_best
+    lanes = jnp.arange(BLOCK)
+    remaining = s
+    vals_list, lane_list = [], []
+    for _ in range(per_block):
+        v = jnp.max(remaining, axis=-1)
+        am = jnp.argmax(remaining, axis=-1)
+        vals_list.append(v)
+        lane_list.append(am.astype(jnp.int32))
+        remaining = jnp.where(lanes[None, None, :] == am[..., None], pad_value,
+                              remaining)
+    return (jnp.stack(vals_list, axis=2), jnp.stack(lane_list, axis=2),
+            jnp.max(remaining, axis=-1))
+
+
 def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf,
-                      overflow_floor=0.0):
+                      overflow_floor=0.0, method="argmax"):
     """scores: [B, D] (higher = better; invalid entries must be <=
     ``overflow_floor`` or -inf); payload: [B, D, P] float32. Returns
     (vals [B, k] descending, sel [B, k, P], overflow [B] int32 — candidate
@@ -54,18 +100,9 @@ def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf,
     s = s.reshape(b, r, BLOCK)
     pay = jnp.pad(payload, ((0, 0), (0, dp - d), (0, 0))).reshape(b, r, BLOCK, p)
 
-    lanes = jnp.arange(BLOCK)
-    remaining = s
-    vals_list, onehot_list = [], []
-    for _ in range(per_block):
-        v = jnp.max(remaining, axis=-1)                       # [B, R]
-        am = jnp.argmax(remaining, axis=-1)                   # [B, R]
-        hit = lanes[None, None, :] == am[..., None]           # [B, R, BLOCK]
-        vals_list.append(v)
-        onehot_list.append(hit)
-        remaining = jnp.where(hit, pad_value, remaining)
-    vals = jnp.stack(vals_list, axis=2)                       # [B, R, per_block]
-    onehot = jnp.stack(onehot_list, axis=2)                   # [B, R, per_block, BLOCK]
+    vals, lane, next_best = _block_top(s, per_block, pad_value, method)
+    onehot = lane[..., None] == jnp.arange(BLOCK)[None, None, None, :]
+    # [B, R, per_block] / [B, R, per_block, BLOCK]
 
     sel = jnp.einsum("brif,brfp->brip", onehot.astype(payload.dtype), pay,
                      precision=lax.Precision.HIGHEST)         # [B, R, per_block, P]
@@ -83,12 +120,10 @@ def block_topk_select(scores, payload, k, per_block=32, pad_value=-jnp.inf,
     out_sel = jnp.stack([o[:, :k] for o in sorted_ops[1:]], axis=-1)
 
     # overflow detection: a block is truncated iff the (per_block+1)-th best
-    # candidate it holds — the first one NOT selected — would still make the
-    # global top k. ``remaining`` holds exactly those leftovers, so one more
-    # max is a precise test (judging by the LAST pick instead false-fires on
-    # blocks holding exactly per_block candidates).
+    # candidate it holds — the first one NOT selected (``next_best``) — would
+    # still make the global top k (judging by the LAST pick instead
+    # false-fires on blocks holding exactly per_block candidates).
     kth = out_vals[:, k - 1]                                   # [B]
-    next_best = jnp.max(remaining, axis=-1)                    # [B, R]
     overflow = jnp.sum((next_best > kth[:, None]) & (next_best > overflow_floor)
                        & jnp.isfinite(next_best), axis=1).astype(jnp.int32)
     return out_vals, out_sel, overflow
@@ -124,7 +159,8 @@ def pick_rows_onehot(payload, idx):
                       precision=lax.Precision.HIGHEST)
 
 
-def block_topk_indices(scores, k, per_block=32, pad_value=-jnp.inf):
+def block_topk_indices(scores, k, per_block=32, pad_value=-jnp.inf,
+                       method="argmax"):
     """Like ``block_topk_select`` but returns flat INDICES instead of a
     carried payload: (vals [B, k] descending, idx [B, k] int32, overflow [B]).
 
@@ -148,20 +184,11 @@ def block_topk_indices(scores, k, per_block=32, pad_value=-jnp.inf):
     s = jnp.pad(scores, ((0, 0), (0, dp - d)), constant_values=pad_value)
     s = s.reshape(b, r, BLOCK)
 
-    base = (jnp.arange(r, dtype=jnp.int32) * BLOCK)[None, :]   # [1, R]
-    remaining = s
-    vals_list, idx_list = [], []
-    for _ in range(per_block):
-        v = jnp.max(remaining, axis=-1)                        # [B, R]
-        am = jnp.argmax(remaining, axis=-1)                    # [B, R]
-        vals_list.append(v)
-        idx_list.append(base + am.astype(jnp.int32))
-        remaining = jnp.where(
-            jnp.arange(BLOCK)[None, None, :] == am[..., None], pad_value,
-            remaining)
+    base = (jnp.arange(r, dtype=jnp.int32) * BLOCK)[None, :, None]  # [1, R, 1]
+    bvals, lane, next_best = _block_top(s, per_block, pad_value, method)
     # [B, R, per_block] -> block-major flat order (ties: ascending index)
-    vals = jnp.stack(vals_list, axis=2).reshape(b, r * per_block)
-    idx = jnp.stack(idx_list, axis=2).reshape(b, r * per_block)
+    vals = bvals.reshape(b, r * per_block)
+    idx = (base + lane).reshape(b, r * per_block)
 
     neg = jnp.where(jnp.isfinite(vals), -vals, jnp.inf)
     neg_sorted, idx_sorted = lax.sort((neg, idx), dimension=-1, num_keys=1)
@@ -173,7 +200,6 @@ def block_topk_indices(scores, k, per_block=32, pad_value=-jnp.inf):
     idx_sorted = jnp.minimum(idx_sorted, d - 1)
 
     kth = out_vals[:, k - 1]
-    next_best = jnp.max(remaining, axis=-1)
     overflow = jnp.sum((next_best > kth[:, None]) & (next_best > 0.0)
                        & jnp.isfinite(next_best), axis=1).astype(jnp.int32)
     return out_vals, idx_sorted, overflow
