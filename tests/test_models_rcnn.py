@@ -152,6 +152,31 @@ def test_frcnn_full_forward_smoke(rng):
     assert len(b) == 2 and all(x.shape[1] == 4 for x in b)
 
 
+def test_frcnn_full_forward_pallas_roi_close_to_dense(rng):
+    """full_forward(roi_method='pallas-interpret') agrees with the dense
+    RoIAlign path on the same params/frames (f32 stack in interpret mode;
+    differences are weight-accumulation-order level)."""
+    body = R.FasterRCNN(1)
+    head = R.RoIHead(1)
+    params = {
+        "body": body.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))["params"],
+        "head": head.init(jax.random.PRNGKey(1), jnp.zeros((1, 7, 7, 256)))["params"],
+    }
+    frames = jnp.asarray(rng.integers(0, 255, size=(2, 64, 96, 3)).astype(np.uint8))
+    canvas = (64, 96)
+    priors = [jnp.asarray(p) for p in get_priors(canvas, R.frcnn_bases(),
+                                                 loc="corner", concat=False)]
+    kw = dict(resized_hw=(64, 96), canvas_hw=canvas, priors_per_level=priors,
+              proposal_cap=64, out_top=20)
+    ref = R.full_forward(params, frames, **kw)
+    got = R.full_forward(params, frames, roi_method="pallas-interpret", **kw)
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_rcnn_spec_structure():
     from videotofaces_tpu.utils import weights as W
 

@@ -94,3 +94,61 @@ def test_roi_align_degenerate_box():
                                              jnp.asarray(boxes), chunk=1))
     assert got.shape == (1, 7, 7, 4)
     assert np.isfinite(got).all()
+
+
+def test_roi_align_pallas_matches_oracle(rng):
+    """The Pallas patch engine (interpret mode on CPU) matches the scalar
+    oracle on an f32 stack: main bucket, big bucket (forced small main), and
+    dead-slot skipping."""
+    strides = (4, 8, 16, 32)
+    sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]
+    fmaps = [rng.normal(size=(2, h, w, 8)).astype(np.float32) for (h, w) in sizes]
+
+    boxes = np.asarray([
+        [10.0, 12.0, 90.0, 100.0],     # P2
+        [4.0, 4.0, 180.0, 160.0],      # P3
+        [0.0, 0.0, 256.0, 256.0],      # P4
+        [2.5, 3.5, 20.25, 17.75],      # small fractional
+        [100.0, 50.0, 101.0, 51.0],    # tiny
+        [0.0, 0.0, 380.0, 250.0],      # big -> overflows a small main bucket
+    ], dtype=np.float32)
+    bx = jnp.asarray(np.stack([boxes, boxes[::-1]]))     # [2, 6, 4]
+    valid = np.ones((2, 6), bool)
+    valid[1, 2] = False                                   # dead slot skipped
+    got, dropped = RA.roi_align_multilevel_pallas(
+        [jnp.asarray(f) for f in fmaps], bx, jnp.asarray(valid), strides,
+        main_hw=(24, 24), big_hw=(40, 48), big_cap=4, interpret=True)
+    got = np.asarray(got)
+    assert np.asarray(dropped).tolist() == [0, 0]
+
+    for b in range(2):
+        bxi = np.asarray(bx[b])
+        lv = np.asarray(RA.assign_fpn_levels(jnp.asarray(bxi)))
+        for i in range(6):
+            if not valid[b, i]:
+                np.testing.assert_array_equal(got[b, i], 0.0)
+                continue
+            want = np_roi_align_single(fmaps[lv[i]][b], bxi[i], strides[lv[i]])
+            np.testing.assert_allclose(got[b, i], want, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"img {b} roi {i} level {lv[i]}")
+
+
+def test_roi_align_pallas_big_cap_drops_counted(rng):
+    """Big-bucket overflow drops the lowest-priority rois and counts them."""
+    strides = (4, 8, 16, 32)
+    sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]
+    fmaps = [rng.normal(size=(1, h, w, 4)).astype(np.float32) for (h, w) in sizes]
+    # all four need the big bucket with a tiny main; cap at 2 -> 2 dropped
+    boxes = np.asarray([[0.0, 0.0, 250.0, 250.0]] * 4, dtype=np.float32)
+    boxes += np.arange(4)[:, None] * 2
+    got, dropped = RA.roi_align_multilevel_pallas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(boxes[None]),
+        jnp.ones((1, 4), bool), strides, main_hw=(8, 16), big_hw=(40, 48),
+        big_cap=2, interpret=True)
+    assert np.asarray(dropped).tolist() == [2]
+    got = np.asarray(got)
+    lv = np.asarray(RA.assign_fpn_levels(jnp.asarray(boxes)))
+    for i in range(2):   # first two slots processed (score-descending order)
+        want = np_roi_align_single(fmaps[lv[i]][0], boxes[i], strides[lv[i]])
+        np.testing.assert_allclose(got[0, i], want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got[0, 2:], 0.0)

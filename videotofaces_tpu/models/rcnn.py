@@ -23,7 +23,7 @@ from ..ops.boxes import clamp_to_canvas, convert_to_cwh, decode_boxes, small_box
 from ..ops.nms import nms_keep_mask, topk_by_score
 from ..ops.select import block_topk_select
 from ..ops.resize import bilinear_resize_matmul
-from ..ops.roi_align import roi_align_multilevel
+from ..ops.roi_align import roi_align_multilevel, roi_align_multilevel_pallas
 from .. import config
 from .layers import ConvUnit, max_pool2d
 from .resnet import resnet50, torch_spec as resnet_spec
@@ -225,18 +225,29 @@ def roi_detections(apply_head, pyramid, proposals, pvalid, canvas_used_hw,
     batch with vmap. On-chip A/B at batch-2 x 1000 rois: sorted 14.4 ms vs
     dense 13.0 — the serialized per-chunk dispatch outweighs the ~2x FLOP
     cut on this part, so dense stays the default.
+
+    ``roi_method="pallas"`` routes the whole batch through the per-roi DMA
+    patch engine (ops/pallas_roialign.py) — throughput-mode arm whose cost
+    follows real proposals; big-bucket overflow is counted into the returned
+    ``roi_dropped`` channel.
     """
     b, r = proposals.shape[:2]
+    roi_dropped = jnp.zeros((b,), jnp.int32)
 
-    def roi_one(bx, f0, f1, f2, f3):
-        return roi_align_multilevel([f0, f1, f2, f3], bx, STRIDES[:4],
-                                    method=roi_method)
-
-    if roi_method == "sorted":
-        roi_maps = jax.lax.map(lambda a: roi_one(*a),
-                               (proposals,) + tuple(pyramid[:4]))
+    if roi_method in ("pallas", "pallas-interpret"):
+        roi_maps, roi_dropped = roi_align_multilevel_pallas(
+            list(pyramid[:4]), proposals, pvalid, STRIDES[:4],
+            interpret=roi_method == "pallas-interpret")
     else:
-        roi_maps = jax.vmap(roi_one)(proposals, *pyramid[:4])   # [B, R, 7, 7, C]
+        def roi_one(bx, f0, f1, f2, f3):
+            return roi_align_multilevel([f0, f1, f2, f3], bx, STRIDES[:4],
+                                        method=roi_method)
+
+        if roi_method == "sorted":
+            roi_maps = jax.lax.map(lambda a: roi_one(*a),
+                                   (proposals,) + tuple(pyramid[:4]))
+        else:
+            roi_maps = jax.vmap(roi_one)(proposals, *pyramid[:4])  # [B, R, 7, 7, C]
     reg, cls = apply_head(roi_maps.reshape(b * r, *roi_maps.shape[2:]))
     nc = num_classes
     reg = reg.reshape(b, r, nc, 4)
@@ -258,7 +269,7 @@ def roi_detections(apply_head, pyramid, proposals, pvalid, canvas_used_hw,
     out_boxes = jnp.take_along_axis(flat_boxes, idx[..., None], axis=1)
     out_scores = jnp.take_along_axis(flat_scores, idx, axis=1)
     out_classes = class_ids[idx]
-    return out_boxes, out_scores, out_classes, out_valid
+    return out_boxes, out_scores, out_classes, out_valid, roi_dropped
 
 
 def resized_shape(h, w, rmin=800, rmax=1333):
@@ -272,7 +283,7 @@ def canvas_shape(nh, nw, mult=32):
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
                  num_classes=1, out_top=100, proposal_cap=1000, orig_hw=None,
-                 compute_dtype=None):
+                 compute_dtype=None, roi_method="dense"):
     """uint8 BGR frames -> final detections in original-frame coordinates.
     ``params`` = {'body': FasterRCNN params, 'head': RoIHead params}.
     ``orig_hw``: set when frames were already cv2-resized on host.
@@ -315,12 +326,13 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
         reg, cls = RoIHead(num_classes).apply({"params": params["head"]}, roi_maps)
         return reg.astype(jnp.float32), cls.astype(jnp.float32)
 
-    boxes, scores, classes, valid = roi_detections(
-        apply_head, pyramid, proposals, pvalid, used, num_classes, out_top=out_top)
+    boxes, scores, classes, valid, roi_dropped = roi_detections(
+        apply_head, pyramid, proposals, pvalid, used, num_classes,
+        out_top=out_top, roi_method=roi_method)
     scale = jnp.asarray([w / nw, h / nh, w / nw, h / nh], jnp.float32)
-    # 5th output: RPN block-select truncation-risk counter — the wrapper's
-    # collect() warns on it exactly like YOLO's (wrappers.py)
-    return boxes * scale, scores, classes, valid, select_overflow
+    # 5th output: RPN block-select truncation risk + pallas-RoIAlign bucket
+    # drops — the wrapper's collect() warns on it exactly like YOLO's
+    return boxes * scale, scores, classes, valid, select_overflow + roi_dropped
 
 
 def torch_spec(num_classes=1):

@@ -302,7 +302,7 @@ class FrcnnDetector(_BoxDetectorBase):
 
     def __init__(self, device=None, checkpoint="frcnn_anime", batch_size=None,
                  params=None, mesh=None, resize_spec=(800, 1333), proposal_cap=1000,
-                 out_top=100, host_resize=False, bf16=False):
+                 out_top=100, host_resize=False, bf16=False, roi_method=None):
         from . import rcnn as R
 
         print("Initializing FasterRCNN model for anime face detection")
@@ -315,6 +315,15 @@ class FrcnnDetector(_BoxDetectorBase):
         self.proposal_cap = proposal_cap
         self.out_top = out_top
         self.batch_size = batch_size
+        # RoIAlign formulation. The Pallas patch engine
+        # (ops/pallas_roialign.py, roi_method="pallas") was MEASURED AND NOT
+        # ADOPTED as the throughput default: its per-slot floor (~1.5 us
+        # even for skipped slots — SMEM scalar reads + program overhead;
+        # tools/profile_roi_pallas.py full-step A/B 28.2 vs 23.0 ms/batch-2
+        # on the random-weight proposal mix) makes it a wash at best vs the
+        # dense separable matmuls. It stays a tested opt-in for
+        # small-proposal-dominated real workloads.
+        self.roi_method = "dense" if roi_method is None else roi_method
         if params is None:
             body_vars = jax.jit(R.FasterRCNN(1).init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
@@ -338,7 +347,8 @@ class FrcnnDetector(_BoxDetectorBase):
                 p, f, (nh, nw), canvas, [jnp.asarray(x) for x in priors],
                 proposal_cap=self.proposal_cap, out_top=self.out_top,
                 orig_hw=(h, w) if self.host_resize else None,
-                compute_dtype=self.compute_dtype), self.mesh)
+                compute_dtype=self.compute_dtype,
+                roi_method=self.roi_method), self.mesh)
             self._cache[key] = fn
         return self._cache[key]
 

@@ -23,6 +23,7 @@ aspect-ratio > 4 proposals on P2/P3 whose edge weights then fall outside and
 contribute zero).
 """
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -425,3 +426,117 @@ def _roi_align_gather(fmaps, boxes, strides=(4, 8, 16, 32), out_size=7,
                  for a in (off_arr, padw_arr, r0, c0, wy, wx))
     out = lax.map(process, data)                                       # [n_chunks, chunk, 7, 7, C]
     return out.reshape(pad_to, out_size, out_size, c)[:n]
+
+
+def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
+                                out_size=7, main_hw=(32, 40), big_hw=(48, 56),
+                                big_cap=128, interpret=False):
+    """Whole-batch multilevel RoIAlign on the Pallas patch engine
+    (ops/pallas_roialign.py) — cost follows REAL rois, not capacity.
+
+    fmaps: list of [B, H_l, W_l, C]; boxes [B, R, 4] input-pixel coords;
+    valid [B, R] bool (dead slots skip their DMA + dots entirely).
+    Returns (pooled [B, R, out, out, C] float32, dropped [B] int32).
+
+    Buckets: a roi needs a [ext_y, ext_x] sampling window on its assigned
+    level (span + 2 for the bilinear halo). ``main_hw`` covers every
+    non-P5-clamped roi by construction (level assignment keeps spans in
+    [14, 28); P2-clamped tiny rois are smaller) and runs with a full-capacity
+    slot per roi; P5-clamped rois route to ``big_hw`` capped at ``big_cap``
+    per image (slots are score-descending, so the best keep their features).
+    Degenerate aspect-ratio rois whose window exceeds ``big_hw`` run with a
+    TRUNCATED window (samples outside contribute zero — the same
+    approximation the window-56 slice/gather methods make; the exact dense
+    method has no window). ``dropped`` counts big-bucket overflow per image.
+
+    THROUGHPUT-mode arm (bf16 patches and weights, f32 accumulation);
+    parity mode keeps the exact f32 dense method.
+    """
+    from .pallas_roialign import FIX, roi_align_patches, spread_matrices
+    from .nms import topk_by_score
+
+    from .pallas_roialign import sublane_align
+
+    num_levels = len(fmaps)
+    b, rr = boxes.shape[:2]
+    c = fmaps[0].shape[-1]
+    algn = sublane_align(fmaps[0].dtype)      # 8 for f32 stacks, 16 for bf16
+    wp = -(-max(f.shape[2] for f in fmaps) // algn) * algn
+    # small canvases (tests, tiny inputs): buckets can't be wider than the
+    # stack; rois too wide even for the clamped big bucket run truncated
+    rnd = lambda v: -(-v // algn) * algn
+    main_hw = (main_hw[0], min(rnd(main_hw[1]), wp))
+    big_hw = (big_hw[0], min(rnd(big_hw[1]), wp))
+    stk = jnp.concatenate(
+        [jnp.pad(f, ((0, 0), (0, 0), (0, wp - f.shape[2]), (0, 0)))
+         for f in fmaps], axis=1)                       # [B, HS, Wp, C]
+    hs = stk.shape[1]
+    stack = stk.reshape(b * hs, wp, c)
+    pad_rows = max(main_hw[0], big_hw[0])
+    stack = jnp.pad(stack, ((0, pad_rows), (0, 0), (0, 0)))
+
+    import numpy as np
+
+    roffs = np.concatenate([[0], np.cumsum([f.shape[1] for f in fmaps[:-1]])])
+    hls = np.asarray([f.shape[1] for f in fmaps], np.int32)
+    wls = np.asarray([f.shape[2] for f in fmaps], np.int32)
+    levels = assign_fpn_levels(boxes, num_levels)       # [B, R]
+    scale = jnp.asarray([1.0 / s for s in strides], jnp.float32)[levels]
+    hl = jnp.asarray(hls)[levels]
+    wl = jnp.asarray(wls)[levels]
+    roff = jnp.asarray(roffs.astype(np.int32))[levels]
+
+    c1x = boxes[..., 0] * scale - 0.5
+    c1y = boxes[..., 1] * scale - 0.5
+    c2x = boxes[..., 2] * scale - 0.5
+    c2y = boxes[..., 3] * scale - 0.5
+    kh = jnp.ceil(jnp.maximum(c2y - c1y, 0.0) / out_size).astype(jnp.int32)
+    kw = jnp.ceil(jnp.maximum(c2x - c1x, 0.0) / out_size).astype(jnp.int32)
+
+    def window(c1, c2, t):
+        ws = jnp.clip(jnp.floor(c1).astype(jnp.int32), 0, t - 1)
+        we = jnp.clip(jnp.floor(c2).astype(jnp.int32) + 1, 0, t - 1)
+        return ws, we - ws + 1
+
+    wsy, ext_y = window(c1y, c2y, hl)
+    wsx, ext_x = window(c1x, c2x, wl)
+    img = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, rr))
+    packed_dims = (hl << 16) | wl
+
+    def scalars_for(px, ok):
+        del px  # col alignment happens in-kernel (Mosaic provability)
+        y0 = img * hs + roff + wsy
+        wpv = jnp.full_like(wsy, wp)
+        return jnp.stack(
+            [ok.astype(jnp.int32), y0, wsx, wsy, wpv,
+             jnp.round(c1y * FIX).astype(jnp.int32),
+             jnp.round(c2y * FIX).astype(jnp.int32),
+             jnp.round(c1x * FIX).astype(jnp.int32),
+             jnp.round(c2x * FIX).astype(jnp.int32),
+             kh, kw, packed_dims], axis=-1).reshape(b * rr, 12)
+
+    fits_main = (ext_y <= main_hw[0]) & (ext_x <= main_hw[1] - (algn - 1))
+    ok_main = valid & fits_main
+    out = roi_align_patches(stack, scalars_for(main_hw[1], ok_main),
+                            *spread_matrices((main_hw[0], main_hw[1]),
+                                             stack.dtype),
+                            win_hw=main_hw, interpret=interpret)  # [N, 56, C]
+
+    want = valid & ~fits_main
+    cap = min(big_cap, rr)
+    # slots are score-descending per image: first-`cap` wanted picks the best
+    idxb, selb = jax.vmap(lambda wv: topk_by_score(
+        wv.astype(jnp.float32), wv, cap))(want)
+    flatb = (idxb + (jnp.arange(b, dtype=idxb.dtype) * rr)[:, None]).reshape(-1)
+    scal = scalars_for(big_hw[1], jnp.ones((b, rr), bool))
+    scal_b = scal[flatb] * selb.reshape(-1, 1).astype(jnp.int32)
+    out_b = roi_align_patches(stack, scal_b,
+                              *spread_matrices((big_hw[0], big_hw[1]),
+                                               stack.dtype),
+                              win_hw=big_hw, interpret=interpret)
+    tgt = jnp.where(selb.reshape(-1), flatb, b * rr)
+    out = out.at[tgt].set(out_b, mode="drop")
+    dropped = (jnp.sum(want, axis=1) - jnp.sum(selb, axis=1)).astype(jnp.int32)
+
+    pooled = out.reshape(b, rr, out_size, 8, c)[:, :, :, :out_size]
+    return pooled, dropped
