@@ -115,11 +115,12 @@ def test_roi_align_pallas_matches_oracle(rng):
     bx = jnp.asarray(np.stack([boxes, boxes[::-1]]))     # [2, 6, 4]
     valid = np.ones((2, 6), bool)
     valid[1, 2] = False                                   # dead slot skipped
-    got, dropped = RA.roi_align_multilevel_pallas(
+    got, dropped, kept = RA.roi_align_multilevel_pallas(
         [jnp.asarray(f) for f in fmaps], bx, jnp.asarray(valid), strides,
         main_hw=(24, 24), big_hw=(40, 48), big_cap=4, interpret=True)
     got = np.asarray(got)
     assert np.asarray(dropped).tolist() == [0, 0]
+    np.testing.assert_array_equal(np.asarray(kept), valid)
 
     for b in range(2):
         bxi = np.asarray(bx[b])
@@ -141,11 +142,13 @@ def test_roi_align_pallas_big_cap_drops_counted(rng):
     # all four need the big bucket with a tiny main; cap at 2 -> 2 dropped
     boxes = np.asarray([[0.0, 0.0, 250.0, 250.0]] * 4, dtype=np.float32)
     boxes += np.arange(4)[:, None] * 2
-    got, dropped = RA.roi_align_multilevel_pallas(
+    got, dropped, kept = RA.roi_align_multilevel_pallas(
         [jnp.asarray(f) for f in fmaps], jnp.asarray(boxes[None]),
         jnp.ones((1, 4), bool), strides, main_hw=(8, 16), big_hw=(40, 48),
         big_cap=2, interpret=True)
     assert np.asarray(dropped).tolist() == [2]
+    # dropped rois lose their kept flag (callers mask them out of validity)
+    np.testing.assert_array_equal(np.asarray(kept), [[True, True, False, False]])
     got = np.asarray(got)
     lv = np.asarray(RA.assign_fpn_levels(jnp.asarray(boxes)))
     for i in range(2):   # first two slots processed (score-descending order)

@@ -132,3 +132,26 @@ def test_block_top_sort_equals_argmax(rng):
             ci = S.block_topk_indices(s, k, pb, method="sort")
             for x, y in zip(ai, ci):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_block_top_sort_vs_argmax_exhausted_blocks():
+    """When a block runs out of finite entries, BOTH arms return the pad
+    value for the dead slots (so validity masks agree), but their
+    lanes/payload legitimately differ (argmax repeats lane 0 of the
+    exhausted block; sort walks the pad lanes) — the documented contract is
+    that consumers never gather by a pad-valued slot's idx."""
+    d, k = 130, 8
+    s = np.full((1, d), -np.inf, np.float32)
+    s[0, :5] = np.arange(5, 0, -1, dtype=np.float32)
+    s = jnp.asarray(s)
+    pay = jnp.asarray(np.arange(d, dtype=np.float32)[None, :, None])
+    for method in ("argmax", "sort"):
+        vals, sel, overflow = S.block_topk_select(
+            s, pay, k, per_block=4, overflow_floor=-jnp.inf, method=method)
+        v = np.asarray(vals)[0]
+        np.testing.assert_array_equal(v[:5], [5, 4, 3, 2, 1])
+        assert np.all(np.isinf(v[5:]) & (v[5:] < 0))
+        # live slots carry the right payload in both arms
+        np.testing.assert_array_equal(np.asarray(sel)[0, :5, 0],
+                                      [0, 1, 2, 3, 4])
+        assert int(np.asarray(overflow)[0]) == 0

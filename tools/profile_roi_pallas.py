@@ -68,7 +68,7 @@ def main():
         elif len(rb) != len(gb):
             worst = float("inf")
     print("same valid mask = %s, max sorted-box delta = %.2e, dropped = %s"
-          % (same_valid, worst, got[4].tolist()), flush=True)
+          % (same_valid, worst, got[5].tolist()), flush=True)
 
     def reduced(fn):
         return lambda p, f: sum(jnp.sum(t.astype(jnp.float32)) for t in fn(p, f)[:4])

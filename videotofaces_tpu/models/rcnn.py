@@ -235,9 +235,14 @@ def roi_detections(apply_head, pyramid, proposals, pvalid, canvas_used_hw,
     roi_dropped = jnp.zeros((b,), jnp.int32)
 
     if roi_method in ("pallas", "pallas-interpret"):
-        roi_maps, roi_dropped = roi_align_multilevel_pallas(
+        roi_maps, roi_dropped, roi_kept = roi_align_multilevel_pallas(
             list(pyramid[:4]), proposals, pvalid, STRIDES[:4],
             interpret=roi_method == "pallas-interpret")
+        # rois whose features were dropped by big-bucket overflow MUST lose
+        # validity too: their all-zero pooled maps would otherwise score as
+        # a constant softmax over the head biases and could emit spurious
+        # detections at the proposal box
+        pvalid = pvalid & roi_kept
     else:
         def roi_one(bx, f0, f1, f2, f3):
             return roi_align_multilevel([f0, f1, f2, f3], bx, STRIDES[:4],
@@ -330,9 +335,10 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
         apply_head, pyramid, proposals, pvalid, used, num_classes,
         out_top=out_top, roi_method=roi_method)
     scale = jnp.asarray([w / nw, h / nh, w / nw, h / nh], jnp.float32)
-    # 5th output: RPN block-select truncation risk + pallas-RoIAlign bucket
-    # drops — the wrapper's collect() warns on it exactly like YOLO's
-    return boxes * scale, scores, classes, valid, select_overflow + roi_dropped
+    # 5th output: RPN block-select truncation risk (raise per_block to fix);
+    # 6th: pallas-RoIAlign big-bucket drops (raise big_cap or use dense).
+    # Kept SEPARATE so the wrapper's warning names the right remediation.
+    return boxes * scale, scores, classes, valid, select_overflow, roi_dropped
 
 
 def torch_spec(num_classes=1):

@@ -85,9 +85,10 @@ def pad_batch(frames, batch_size):
 
 class _BoxDetectorBase:
     """Shared submit/collect for detectors whose graph returns
-    (boxes, scores, classes, valid[, select_overflow]) — YOLO and Faster
-    R-CNN. Subclasses provide ``_name``, ``_resized_hw(h, w)`` and
-    ``_compiled(b, h, w)``."""
+    (boxes, scores, classes, valid[, select_overflow[, roi_dropped]]) —
+    YOLO (5 leaves) and Faster R-CNN (6: the pallas-RoIAlign drop counter
+    is separate so the warning names the right remediation). Subclasses
+    provide ``_name``, ``_resized_hw(h, w)`` and ``_compiled(b, h, w)``."""
 
     def _resized_hw(self, h, w):
         raise NotImplementedError
@@ -124,6 +125,13 @@ class _BoxDetectorBase:
                       "%d lane block(s) (spatially dense detections); raise "
                       "per_block in postprocess for exact selection."
                       % (self._name, of))
+        if len(fetched) > 5:  # pallas-RoIAlign big-bucket drop counter
+            dr = int(np.asarray(fetched[5]).max())
+            if dr > 0:
+                print("WARNING: %s pallas RoIAlign dropped %d low-scoring "
+                      "big-window roi(s) per image (big-bucket overflow); "
+                      "raise big_cap or use roi_method='dense'."
+                      % (self._name, dr))
         out_b, out_s, out_c = [], [], []
         for i in range(n):
             v = valid[i]

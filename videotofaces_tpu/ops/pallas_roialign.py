@@ -46,15 +46,16 @@ GRID_ROWS = 56          # out bin (i, j) -> grid row i*8 + j (7x7 used, 8-padded
 FIX = 65536.0           # 16.16 fixed-point for float roi coords in SMEM
 
 
-def sublane_align(dtype):
+def sublane_align():
     """Dynamic-slice alignment for the second-minor (W) dim of the stacked
     feature buffer: the memref tile is (8, 128) on (W, C) for both f32 and
     bf16 (bf16 packs pairs within a tile), so W slice origins must be
     PROVABLY divisible by 8 — which also means the kernel must compute the
     aligned origin itself in the ``(min(start, bound) // 8) * 8`` form
     Mosaic's divisibility analysis accepts (a pre-aligned SMEM scalar is
-    not provable)."""
-    del dtype
+    not provable). The (8, 128) tile shape holds for both f32 and bf16
+    stacks (bf16 packs pairs within a tile), so the alignment is 8 in
+    both cases."""
     return 8
 
 
@@ -162,7 +163,7 @@ def roi_align_patches(fstack, scalars, sy, sx, win_hw, interpret=False,
     n = scalars.shape[0]
     hs, wp, c = fstack.shape
     py, px = win_hw
-    algn = sublane_align(fstack.dtype)
+    algn = sublane_align()
     assert wp % algn == 0 and px % algn == 0 and px <= wp, (wp, px, algn)
     # ``group`` rois per grid step: the per-program floor measured ~2.2 us
     # even for skipped slots (grid bookkeeping + output block copy), so

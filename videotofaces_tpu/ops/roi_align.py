@@ -436,7 +436,10 @@ def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
 
     fmaps: list of [B, H_l, W_l, C]; boxes [B, R, 4] input-pixel coords;
     valid [B, R] bool (dead slots skip their DMA + dots entirely).
-    Returns (pooled [B, R, out, out, C] float32, dropped [B] int32).
+    Returns (pooled [B, R, out, out, C] float32, dropped [B] int32,
+    kept [B, R] bool — False for rois whose features were dropped by
+    big-bucket overflow; callers MUST mask those out of validity, or the
+    all-zero pooled features turn into constant bias-driven head scores).
 
     Buckets: a roi needs a [ext_y, ext_x] sampling window on its assigned
     level (span + 2 for the bilinear halo). ``main_hw`` covers every
@@ -452,15 +455,19 @@ def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
     THROUGHPUT-mode arm (bf16 patches and weights, f32 accumulation);
     parity mode keeps the exact f32 dense method.
     """
-    from .pallas_roialign import FIX, roi_align_patches, spread_matrices
+    from .pallas_roialign import (FIX, roi_align_patches, spread_matrices,
+                                  sublane_align)
     from .nms import topk_by_score
 
-    from .pallas_roialign import sublane_align
-
+    if out_size != 7:
+        raise ValueError(
+            "the pallas patch engine hardcodes the 7x7 grid-row form "
+            "(GRID_ROWS=56, bin (i,j) -> row i*8+j); out_size=%r is not "
+            "supported — use method='dense' for other sizes" % (out_size,))
     num_levels = len(fmaps)
     b, rr = boxes.shape[:2]
     c = fmaps[0].shape[-1]
-    algn = sublane_align(fmaps[0].dtype)      # 8 for f32 stacks, 16 for bf16
+    algn = sublane_align()
     wp = -(-max(f.shape[2] for f in fmaps) // algn) * algn
     # small canvases (tests, tiny inputs): buckets can't be wider than the
     # stack; rois too wide even for the clamped big bucket run truncated
@@ -503,8 +510,9 @@ def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
     img = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, rr))
     packed_dims = (hl << 16) | wl
 
-    def scalars_for(px, ok):
-        del px  # col alignment happens in-kernel (Mosaic provability)
+    def scalars_for(ok):
+        # col alignment happens in-kernel (Mosaic provability), so the
+        # scalar rows are bucket-independent
         y0 = img * hs + roff + wsy
         wpv = jnp.full_like(wsy, wp)
         return jnp.stack(
@@ -517,7 +525,7 @@ def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
 
     fits_main = (ext_y <= main_hw[0]) & (ext_x <= main_hw[1] - (algn - 1))
     ok_main = valid & fits_main
-    out = roi_align_patches(stack, scalars_for(main_hw[1], ok_main),
+    out = roi_align_patches(stack, scalars_for(ok_main),
                             *spread_matrices((main_hw[0], main_hw[1]),
                                              stack.dtype),
                             win_hw=main_hw, interpret=interpret)  # [N, 56, C]
@@ -528,7 +536,7 @@ def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
     idxb, selb = jax.vmap(lambda wv: topk_by_score(
         wv.astype(jnp.float32), wv, cap))(want)
     flatb = (idxb + (jnp.arange(b, dtype=idxb.dtype) * rr)[:, None]).reshape(-1)
-    scal = scalars_for(big_hw[1], jnp.ones((b, rr), bool))
+    scal = scalars_for(jnp.ones((b, rr), bool))
     scal_b = scal[flatb] * selb.reshape(-1, 1).astype(jnp.int32)
     out_b = roi_align_patches(stack, scal_b,
                               *spread_matrices((big_hw[0], big_hw[1]),
@@ -537,6 +545,8 @@ def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
     tgt = jnp.where(selb.reshape(-1), flatb, b * rr)
     out = out.at[tgt].set(out_b, mode="drop")
     dropped = (jnp.sum(want, axis=1) - jnp.sum(selb, axis=1)).astype(jnp.int32)
+    placed = jnp.zeros((b * rr,), bool).at[tgt].set(True, mode="drop")
+    kept = ok_main | (want & placed.reshape(b, rr))
 
     pooled = out.reshape(b, rr, out_size, 8, c)[:, :, :, :out_size]
-    return pooled, dropped
+    return pooled, dropped, kept

@@ -40,9 +40,14 @@ def _block_top(s, per_block, pad_value, method="argmax"):
 
     method="sort": ONE stable variadic lane sort per block instead of
     ``per_block`` serialized (reduce_max, argmax, compare, select) rounds.
-    Identical results: lax.sort is stable, so equal values keep ascending
-    lane order, exactly the first-hit order iterative argmax produces
-    (bit-equality unit-tested). MEASURED A WASH in the full YOLO graph
+    Identical results for every slot holding a FINITE value: lax.sort is
+    stable, so equal values keep ascending lane order, exactly the first-hit
+    order iterative argmax produces (bit-equality unit-tested). Slots past a
+    block's finite entries (-inf pads) return ``pad_value`` in both arms but
+    their lanes/payload differ: argmax keeps returning the all--inf argmax
+    (lane 0, so lane-0's payload) while the sort walks the pad lanes in
+    ascending order — consumers must treat returned-``pad_value`` slots as
+    invalid, never gather by their idx. MEASURED A WASH in the full YOLO graph
     (tools/profile_select.py, per_block=20: argmax 12.18 vs sort 12.23
     ms/batch-8 interleaved — the per-op trace had attributed ~2.3 ms to the
     argmax reduce chain, but those passes overlap other work, another
