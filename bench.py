@@ -490,11 +490,26 @@ def main():
                  results["rcnn"], results["mtcnn"], h2d, h2d / frame_mb,
                  decode_fps, emb_dev["facenet_vgg"], emb_dev["vit_b"],
                  emb_dev["vit_l"], emb_prz, emb))
+    # Per-detector north-star ratios, machine-readable (VERDICT r4 item 2).
+    # BASELINE.md metric definition: ">500 sampled 1080p frames/s end-to-end
+    # on TPU v5e-8" — the single-chip pipeline-at-device-rate figure ×8
+    # (detection is data-parallel across chips; dryrun_multichip validates
+    # the sharded graphs) over the 500 fps target. Baseline config 1 is an
+    # MTCNN run, so pipe_x8_over_north_star["mtcnn"] is the gating number.
+    def _ratio(v):
+        return round(v * 8 / 500.0, 3) if v == v else 0.0
+
     print(json.dumps({
         "metric": metric,
         "value": round(dev, 2),
         "unit": "frames/s",
         "vs_baseline": round(dev / 500.0, 3),
+        "north_star": "BASELINE.md: >500 sampled 1080p frames/s end-to-end "
+                      "on TPU v5e-8 (metric: sampled 1080p frames/sec "
+                      "end-to-end; faces embedded/sec at batch 128)",
+        "pipe_fps_per_chip": {k: round(v, 1) if v == v else 0.0
+                              for k, v in pipe.items()},
+        "pipe_x8_over_north_star": {k: _ratio(v) for k, v in pipe.items()},
     }))
 
 

@@ -115,11 +115,12 @@ def test_roi_align_pallas_matches_oracle(rng):
     bx = jnp.asarray(np.stack([boxes, boxes[::-1]]))     # [2, 6, 4]
     valid = np.ones((2, 6), bool)
     valid[1, 2] = False                                   # dead slot skipped
-    got, dropped, kept = RA.roi_align_multilevel_pallas(
+    got, dropped, kept, truncated = RA.roi_align_multilevel_pallas(
         [jnp.asarray(f) for f in fmaps], bx, jnp.asarray(valid), strides,
         main_hw=(24, 24), big_hw=(40, 48), big_cap=4, interpret=True)
     got = np.asarray(got)
     assert np.asarray(dropped).tolist() == [0, 0]
+    assert np.asarray(truncated).tolist() == [0, 0]
     np.testing.assert_array_equal(np.asarray(kept), valid)
 
     for b in range(2):
@@ -142,7 +143,7 @@ def test_roi_align_pallas_big_cap_drops_counted(rng):
     # all four need the big bucket with a tiny main; cap at 2 -> 2 dropped
     boxes = np.asarray([[0.0, 0.0, 250.0, 250.0]] * 4, dtype=np.float32)
     boxes += np.arange(4)[:, None] * 2
-    got, dropped, kept = RA.roi_align_multilevel_pallas(
+    got, dropped, kept, truncated = RA.roi_align_multilevel_pallas(
         [jnp.asarray(f) for f in fmaps], jnp.asarray(boxes[None]),
         jnp.ones((1, 4), bool), strides, main_hw=(8, 16), big_hw=(40, 48),
         big_cap=2, interpret=True)
@@ -155,3 +156,23 @@ def test_roi_align_pallas_big_cap_drops_counted(rng):
         want = np_roi_align_single(fmaps[lv[i]][0], boxes[i], strides[lv[i]])
         np.testing.assert_allclose(got[0, i], want, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(got[0, 2:], 0.0)
+
+
+def test_roi_align_pallas_truncated_windows_counted(rng):
+    """Degenerate-aspect rois whose sampling window exceeds even big_hw stay
+    kept but run window-TRUNCATED — the 4th return counts them per image so
+    users of the opt-in engine can detect the approximation (ADVICE r4)."""
+    strides = (4, 8, 16, 32)
+    sizes = [(64, 96), (32, 48), (16, 24), (8, 12)]
+    fmaps = [rng.normal(size=(1, h, w, 4)).astype(np.float32) for (h, w) in sizes]
+    boxes = np.asarray([
+        [0.0, 0.0, 380.0, 8.0],        # ~95-col window on its level -> truncated
+        [0.0, 0.0, 64.0, 64.0],        # fits the big bucket exactly
+    ], dtype=np.float32)
+    got, dropped, kept, truncated = RA.roi_align_multilevel_pallas(
+        [jnp.asarray(f) for f in fmaps], jnp.asarray(boxes[None]),
+        jnp.ones((1, 2), bool), strides, main_hw=(8, 16), big_hw=(40, 48),
+        big_cap=4, interpret=True)
+    assert np.asarray(dropped).tolist() == [0]
+    np.testing.assert_array_equal(np.asarray(kept), [[True, True]])
+    assert np.asarray(truncated).tolist() == [1]

@@ -318,3 +318,68 @@ def test_checkpoint_reorders_match_reference():
         RefFaceNetWrap.__new__(RefFaceNetWrap), dict(src)))
     got = [k for k, _ in CW.facenet_drop_logits(list(src.items()))]
     assert got == want
+
+
+def test_convert_weights_parses_real_torch_save_files(rng, tmp_path):
+    """Byte-level .pt parse proof (VERDICT r4 item 8): run the OFFLINE
+    converter end to end on real ``torch.save`` ZIPFILES (not in-memory
+    state dicts) — the exact artifact the pretrained downloads produce —
+    and assert the written .npz equals the in-memory conversion.
+
+    Covers both container shapes the checkpoints use: a bare state dict
+    (MTCNN, facenet-pytorch style) and an mmdet-style
+    ``{"state_dict": ..., "meta": ...}`` wrapper that also needs the
+    ``sub=`` key and the RoI-head reorder (reference rcnn.py:154-166)."""
+    from videotofaces.detectors.mtcnn import MTCNN as RefMTCNN
+    from videotofaces.detectors.rcnn import AnimeFRCNN
+
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.models import rcnn as R
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "tools"))
+    import convert_weights as CW
+
+    # --- MTCNN: bare state dict saved as a real torch.save zipfile --------
+    ref = RefMTCNN("cpu")
+    sd = _randomize(ref, seed=41)
+    pt = tmp_path / "mtcnn_joined.pt"
+    torch.save(sd, str(pt))
+    out = tmp_path / "mtcnn_joined.npz"
+    CW.convert("mtcnn", str(pt), str(out))
+    got = W.load_params(str(out))
+    want = _convert(M.torch_spec(), sd)
+    gf, wf = W.flatten(W._to_numpy_tree(got)), W.flatten(W._to_numpy_tree(want))
+    assert sorted(gf) == sorted(wf)
+    for k in wf:
+        np.testing.assert_array_equal(gf[k], wf[k], err_msg=k)
+
+    # --- RCNN: mmdet-style {"state_dict": ...} wrapper + RoI reorder ------
+    # the real checkpoint stores the RoI cls/reg FCs BEFORE the shared FCs;
+    # build that ordering by inverting the reference's wconv on a
+    # registration-ordered dict (wconv moves the last 8: [cls/reg, fc] ->
+    # [fc, cls/reg]; the inverse moves [fc, cls/reg] -> [cls/reg, fc])
+    from videotofaces.detectors.rcnn import FasterRCNN as RefFRCNN
+
+    ref_r = RefFRCNN("cpu")
+    sd_r = _randomize(ref_r, seed=42)
+    items = list(sd_r.items())
+    mmdet_items = items[:-8] + items[-4:] + items[-8:-4]
+    # round-trip sanity: the converter's reorder must restore registration order
+    assert [k for k, _ in CW.mmdet_roi_reorder(mmdet_items)] == [k for k, _ in items]
+    import collections
+    mmdet_sd = collections.OrderedDict(mmdet_items)
+    pt_r = tmp_path / "frcnn_anime.pth"
+    torch.save({"state_dict": mmdet_sd, "meta": {"mmdet_version": "2.x"}}, str(pt_r))
+    out_r = tmp_path / "frcnn_anime.npz"
+    CW.convert("rcnn", str(pt_r), str(out_r))
+    got_r = W.load_params(str(out_r))
+    body_spec, head_spec = R.torch_spec()
+    flat_all = W.convert_state(body_spec + head_spec, _ordered_tensors(sd_r))
+    head_paths = {el[1] for el in head_spec}
+    want_flat = {("head/" if k.split("/")[0] in head_paths else "body/") + k: v
+                 for k, v in flat_all.items()}
+    got_flat = W.flatten(W._to_numpy_tree(got_r))
+    assert sorted(got_flat) == sorted(want_flat)
+    for k in want_flat:
+        np.testing.assert_array_equal(got_flat[k], np.asarray(want_flat[k]),
+                                      err_msg=k)

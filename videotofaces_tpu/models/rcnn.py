@@ -233,11 +233,13 @@ def roi_detections(apply_head, pyramid, proposals, pvalid, canvas_used_hw,
     """
     b, r = proposals.shape[:2]
     roi_dropped = jnp.zeros((b,), jnp.int32)
+    roi_truncated = jnp.zeros((b,), jnp.int32)
 
     if roi_method in ("pallas", "pallas-interpret"):
-        roi_maps, roi_dropped, roi_kept = roi_align_multilevel_pallas(
-            list(pyramid[:4]), proposals, pvalid, STRIDES[:4],
-            interpret=roi_method == "pallas-interpret")
+        roi_maps, roi_dropped, roi_kept, roi_truncated = \
+            roi_align_multilevel_pallas(
+                list(pyramid[:4]), proposals, pvalid, STRIDES[:4],
+                interpret=roi_method == "pallas-interpret")
         # rois whose features were dropped by big-bucket overflow MUST lose
         # validity too: their all-zero pooled maps would otherwise score as
         # a constant softmax over the head biases and could emit spurious
@@ -274,7 +276,7 @@ def roi_detections(apply_head, pyramid, proposals, pvalid, canvas_used_hw,
     out_boxes = jnp.take_along_axis(flat_boxes, idx[..., None], axis=1)
     out_scores = jnp.take_along_axis(flat_scores, idx, axis=1)
     out_classes = class_ids[idx]
-    return out_boxes, out_scores, out_classes, out_valid, roi_dropped
+    return out_boxes, out_scores, out_classes, out_valid, roi_dropped, roi_truncated
 
 
 def resized_shape(h, w, rmin=800, rmax=1333):
@@ -331,14 +333,20 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors_per_level,
         reg, cls = RoIHead(num_classes).apply({"params": params["head"]}, roi_maps)
         return reg.astype(jnp.float32), cls.astype(jnp.float32)
 
-    boxes, scores, classes, valid, roi_dropped = roi_detections(
+    boxes, scores, classes, valid, roi_dropped, roi_truncated = roi_detections(
         apply_head, pyramid, proposals, pvalid, used, num_classes,
         out_top=out_top, roi_method=roi_method)
     scale = jnp.asarray([w / nw, h / nh, w / nw, h / nh], jnp.float32)
     # 5th output: RPN block-select truncation risk (raise per_block to fix);
-    # 6th: pallas-RoIAlign big-bucket drops (raise big_cap or use dense).
-    # Kept SEPARATE so the wrapper's warning names the right remediation.
-    return boxes * scale, scores, classes, valid, select_overflow, roi_dropped
+    # 6th: pallas-RoIAlign big-bucket drops (raise big_cap or use dense);
+    # 7th: pallas-RoIAlign kept-but-window-truncated rois (degenerate aspect
+    # ratios; approximation warning, not a drop). Kept SEPARATE so the
+    # wrapper's warning names the right remediation. Output arity changed
+    # 6 -> 7 in round 5 (was 5 -> 6 in round 4): external callers unpacking
+    # the graph outputs positionally must add the new trailing leaf
+    # (docs/ROUND5.md).
+    return (boxes * scale, scores, classes, valid, select_overflow,
+            roi_dropped, roi_truncated)
 
 
 def torch_spec(num_classes=1):

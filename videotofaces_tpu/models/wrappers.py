@@ -85,10 +85,11 @@ def pad_batch(frames, batch_size):
 
 class _BoxDetectorBase:
     """Shared submit/collect for detectors whose graph returns
-    (boxes, scores, classes, valid[, select_overflow[, roi_dropped]]) —
-    YOLO (5 leaves) and Faster R-CNN (6: the pallas-RoIAlign drop counter
-    is separate so the warning names the right remediation). Subclasses
-    provide ``_name``, ``_resized_hw(h, w)`` and ``_compiled(b, h, w)``."""
+    (boxes, scores, classes, valid[, select_overflow[, roi_dropped[,
+    roi_truncated]]]) — YOLO (5 leaves) and Faster R-CNN (7: the
+    pallas-RoIAlign drop and truncation counters are separate so each
+    warning names the right remediation). Subclasses provide ``_name``,
+    ``_resized_hw(h, w)`` and ``_compiled(b, h, w)``."""
 
     def _resized_hw(self, h, w):
         raise NotImplementedError
@@ -122,16 +123,24 @@ class _BoxDetectorBase:
             of = int(np.asarray(fetched[4]).max())
             if of > 0:
                 print("WARNING: %s candidate block-select may have truncated "
-                      "%d lane block(s) (spatially dense detections); raise "
-                      "per_block in postprocess for exact selection."
-                      % (self._name, of))
+                      "up to %d lane block(s) per image (batch max; spatially "
+                      "dense detections); raise per_block in postprocess for "
+                      "exact selection." % (self._name, of))
         if len(fetched) > 5:  # pallas-RoIAlign big-bucket drop counter
             dr = int(np.asarray(fetched[5]).max())
             if dr > 0:
-                print("WARNING: %s pallas RoIAlign dropped %d low-scoring "
-                      "big-window roi(s) per image (big-bucket overflow); "
-                      "raise big_cap or use roi_method='dense'."
-                      % (self._name, dr))
+                print("WARNING: %s pallas RoIAlign dropped up to %d "
+                      "low-scoring big-window roi(s) per image (batch max; "
+                      "big-bucket overflow); raise big_cap or use "
+                      "roi_method='dense'." % (self._name, dr))
+        if len(fetched) > 6:  # pallas-RoIAlign truncated-window counter
+            tr = int(np.asarray(fetched[6]).max())
+            if tr > 0:
+                print("WARNING: %s pallas RoIAlign ran up to %d degenerate-"
+                      "aspect roi(s) per image (batch max) with a TRUNCATED "
+                      "sampling window (outside samples contribute zero); "
+                      "use roi_method='dense' for exact pooling."
+                      % (self._name, tr))
         out_b, out_s, out_c = [], [], []
         for i in range(n):
             v = valid[i]

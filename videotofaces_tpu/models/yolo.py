@@ -75,6 +75,12 @@ class PackedDown(nn.Module):
     checkpoints load unchanged; the packed kernel is rebuilt per forward
     (9 sub-kernel placements on a tiny tensor — negligible next to the
     conv, and it keeps autodiff/loading trivial).
+
+    TPU runtime note: inside the full YOLO graph this composition compiles
+    and runs fine (A/B-measured, docs/ROUND4.md); the SAME math STANDALONE
+    at the stage1_down shape reproducibly kills the TPU worker process —
+    see docs/TPU_CRASH_ARMS.md case 2 and
+    tools/repro_tpu_worker_crash.py before microbenching it in isolation.
     """
 
     cout: int

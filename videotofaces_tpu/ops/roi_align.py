@@ -439,7 +439,9 @@ def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
     Returns (pooled [B, R, out, out, C] float32, dropped [B] int32,
     kept [B, R] bool — False for rois whose features were dropped by
     big-bucket overflow; callers MUST mask those out of validity, or the
-    all-zero pooled features turn into constant bias-driven head scores).
+    all-zero pooled features turn into constant bias-driven head scores,
+    truncated [B] int32 — kept rois whose sampling window exceeded even
+    ``big_hw`` and ran window-truncated, see below).
 
     Buckets: a roi needs a [ext_y, ext_x] sampling window on its assigned
     level (span + 2 for the bilinear halo). ``main_hw`` covers every
@@ -547,6 +549,12 @@ def roi_align_multilevel_pallas(fmaps, boxes, valid, strides=(4, 8, 16, 32),
     dropped = (jnp.sum(want, axis=1) - jnp.sum(selb, axis=1)).astype(jnp.int32)
     placed = jnp.zeros((b * rr,), bool).at[tgt].set(True, mode="drop")
     kept = ok_main | (want & placed.reshape(b, rr))
+    # degenerate-aspect rois whose window exceeds even big_hw stay kept but
+    # run TRUNCATED (outside samples contribute zero) — counted so users of
+    # this opt-in engine can detect the approximation, mirroring ``dropped``
+    fits_big = (ext_y <= big_hw[0]) & (ext_x <= big_hw[1] - (algn - 1))
+    truncated = jnp.sum(want & placed.reshape(b, rr) & ~fits_big,
+                        axis=1).astype(jnp.int32)
 
     pooled = out.reshape(b, rr, out_size, 8, c)[:, :, :, :out_size]
-    return pooled, dropped, kept
+    return pooled, dropped, kept, truncated
