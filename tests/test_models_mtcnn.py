@@ -627,3 +627,167 @@ def test_cascade_pallas_mm_pool_matches_gather_pool(rng):
                          pallas_pool="mm")
     for r, g in zip(ref[:4], got[:4]):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_chw_stem_fenced_on_tpu(rng, monkeypatch):
+    """pnet_stem='chw' reproducibly kills the TPU runtime worker when
+    composed over the pyramid (docs/TPU_CRASH_ARMS.md case 1) — on a TPU
+    backend the library must refuse it with an actionable error BEFORE
+    compile instead of leaving a dead process, unless explicitly
+    overridden for runtime re-testing."""
+    import pytest
+
+    params = _init_params(rng)
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, 48, 64, 3)).astype(np.uint8))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("V2F_ALLOW_TPU_CRASH_ARMS", raising=False)
+    with pytest.raises(RuntimeError, match="TPU_CRASH_ARMS"):
+        M.full_forward(params, frames, minsize=20, pnet_stem="chw")
+    # the documented override re-enables the arm (for newer-runtime retests);
+    # on this CPU-backed test the graph must then build and run
+    monkeypatch.setenv("V2F_ALLOW_TPU_CRASH_ARMS", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    out = M.full_forward(params, frames, minsize=20, pnet_stem="chw")
+    assert out[0].ndim == 3
+
+
+def test_pnet_pallas_fused_pool_and_r4_bit_identical(rng):
+    """The fused-pool kernel (pnet_level_fused: in-kernel row matmul +
+    banded column matmuls) is BIT-IDENTICAL to pool-then-pnet_level at
+    fixed dot blocking — on upscale AND <=2-window downscale levels, f32
+    and bf16. The r4 row-stacked packing is only ULP-EQUIVALENT to r1: the
+    inserted zero K-entries change how the dot's f32 accumulation is
+    grouped on BOTH backends (measured on chip too — see the TPU-gated
+    test below), and the per-dot ulp compounds through the 4 bf16-stored
+    layers, so r1-vs-r4 gets a loose sanity bound (docs/ROUND5.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.ops.pallas_pnet import (
+        pack_pnet_weights, pack_pnet_weights_r4, pad_frames_chw16,
+        pnet_level, pnet_level_fused)
+    from videotofaces_tpu.ops.resize import (adaptive_pool_full_chw_phase_mm,
+                                             pool_windows_le2)
+
+    pnet = M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"]
+    h, w = 40, 56
+    frames = rng.integers(0, 255, size=(1, h, w, 3)).astype(np.uint8)
+    fnorm = jnp.transpose(M._normalize(
+        jnp.asarray(frames)[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2))
+    f32 = lambda a: np.asarray(a, np.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        packed = pack_pnet_weights(pnet, dt)
+        packed4 = pack_pnet_weights_r4(pnet, dt)
+        fpad = pad_frames_chw16(fnorm.astype(dt))
+        # upscale (windows always <=2) and an exact-3/4 downscale (ratio
+        # 4/3: fractional window starts are multiples of 1/3, never > 2/3,
+        # so widths stay <=2 — a 0.61x level would have 3-wide windows)
+        for sh, sw in [(int(h * 2.4 + 1), int(w * 2.4 + 1)),
+                       (h * 3 // 4, w * 3 // 4)]:
+            assert pool_windows_le2((sh, sw), (h, w)), (sh, sw)
+            lv = adaptive_pool_full_chw_phase_mm(fnorm.astype(dt), (sh, sw),
+                                                 (h, w)).astype(dt)
+            r1, p1 = pnet_level(packed, lv, (sh, sw), to=8, interpret=True)
+            r4, p4 = pnet_level(packed4, lv, (sh, sw), to=8, interpret=True)
+            # fused pool vs HBM pool at FIXED impl: exact on any backend
+            for pk, (rr, pr) in ((packed, (r1, p1)), (packed4, (r4, p4))):
+                r2, p2 = pnet_level_fused(pk, fpad, (h, w), (sh, sw), to=8,
+                                          interpret=True)
+                np.testing.assert_array_equal(f32(rr), f32(r2))
+                np.testing.assert_array_equal(f32(pr), f32(p2))
+            # r1 vs r4: loose sanity bound off-MXU — XLA:CPU's dot reduction
+            # tree regroups across the zero K-pads, and the per-dot ulp
+            # compounds through the 4 bf16-stored layers (~5 ulp observed);
+            # bit-exactness holds on chip (TPU test below)
+            rtol = 0.05 if dt == jnp.bfloat16 else 1e-4
+            atol = 5e-3 if dt == jnp.bfloat16 else 1e-6
+            np.testing.assert_allclose(f32(r1), f32(r4), rtol=rtol, atol=atol)
+            np.testing.assert_allclose(f32(p1), f32(p4), rtol=rtol, atol=atol)
+
+
+def test_pnet_r4_and_fused_pool_bit_identical_on_tpu(rng):
+    """Compiled-kernel exactness contract ON CHIP (measured, docs/ROUND5.md):
+    the fused in-kernel pool is BIT-IDENTICAL to the HBM pool at fixed dot
+    blocking in both dtypes; the r4 row-stacked packing is NOT bit-identical
+    to r1 — the MXU's padded-K lowering regroups the f32 accumulation at
+    ulp level (bf16: ~1 ulp on reg, ~5e-5 on prob; f32: ~1e-7) — so r1-vs-r4
+    asserts a tight ulp bound and the production default is r4 EVERYWHERE
+    (cross-impl mixing is what would change selections on ties).
+    Runs only where a real TPU is attached:
+    ``V2F_TEST_PLATFORM=tpu python -m pytest tests/test_models_mtcnn.py -k
+    on_tpu`` (the default conftest pins tests to the virtual CPU mesh)."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU (MXU accumulate-order assertion)")
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.ops.pallas_pnet import (
+        pack_pnet_weights, pack_pnet_weights_r4, pad_frames_chw16,
+        pnet_level, pnet_level_fused)
+    from videotofaces_tpu.ops.resize import adaptive_pool_full_chw_phase_mm
+
+    pnet = M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"]
+    h, w = 120, 160
+    frames = rng.integers(0, 255, size=(2, h, w, 3)).astype(np.uint8)
+    fnorm = jnp.transpose(M._normalize(
+        jnp.asarray(frames)[..., ::-1].astype(jnp.float32)), (0, 3, 1, 2))
+    f32 = lambda a: np.asarray(a, np.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        packed = pack_pnet_weights(pnet, dt)
+        packed4 = pack_pnet_weights_r4(pnet, dt)
+        fpad = pad_frames_chw16(fnorm.astype(dt))
+        sh, sw = int(h * 1.3 + 1), int(w * 1.3 + 1)
+        lv = adaptive_pool_full_chw_phase_mm(fnorm.astype(dt), (sh, sw),
+                                             (h, w)).astype(dt)
+        r1, p1 = pnet_level(packed, lv, (sh, sw))
+        r4, p4 = pnet_level(packed4, lv, (sh, sw))
+        rf, pf = pnet_level_fused(packed4, fpad, (h, w), (sh, sw))
+        # fused pool vs HBM pool at fixed impl: bit-exact
+        np.testing.assert_array_equal(f32(r4), f32(rf))
+        np.testing.assert_array_equal(f32(p4), f32(pf))
+        # r1 vs r4: ulp-level f32 regrouping (measured maxima + margin)
+        if dt == jnp.bfloat16:
+            np.testing.assert_allclose(f32(r1), f32(r4), rtol=0.05, atol=2e-3)
+            np.testing.assert_allclose(f32(p1), f32(p4), rtol=0, atol=5e-4)
+        else:
+            np.testing.assert_allclose(f32(r1), f32(r4), rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(f32(p1), f32(p4), rtol=0, atol=1e-5)
+
+
+def test_cascade_pallas_fused_pool_matches_gather_pool(rng):
+    """pallas_pool='fused' (pool inside the kernel) is BIT-IDENTICAL to the
+    integral-gather pool through the whole cascade, with mixed level routing
+    (small levels keep the integral path) and the r4 dot blocking."""
+    import jax
+    import jax.numpy as jnp
+
+    from videotofaces_tpu.models import mtcnn as M
+    from videotofaces_tpu.ops.resize import pool_windows_le2
+
+    params = {
+        "pnet": M.PNet().init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)))["params"],
+        "rnet": M.RNet().init(jax.random.PRNGKey(1), jnp.zeros((1, 24, 24, 3)))["params"],
+        "onet": M.ONet().init(jax.random.PRNGKey(2), jnp.zeros((1, 48, 48, 3)))["params"],
+    }
+    for net in params.values():
+        net["cls"]["bias"] = net["cls"]["bias"].at[1].add(2.0)
+    caps = M.Caps(pre1=32, post1=32, cross=64, stage2=48, stage3=24, out=16)
+    fh, fw = 63, 97
+    _, sizes = M.scale_pyramid(fh, fw, 8)
+    routed = [pool_windows_le2(s, (fh, fw)) for s in sizes]
+    assert any(routed) and not all(routed), routed
+    frames = jnp.asarray(rng.integers(0, 255, size=(1, fh, fw, 3)).astype(np.uint8))
+    # FIXED impl on both sides (r4, the default) so the comparison isolates
+    # the pool routing — r1-vs-r4 exactness is MXU-only (see the TPU test)
+    ref = M.full_forward(params, frames, minsize=8, caps=caps,
+                         crop_engine="gather", pnet_stem="pallas-interpret",
+                         pallas_pool="gather", pnet_impl="r4")
+    assert int(np.asarray(ref[3]).sum()) > 0, "no detections — tune test"
+    got = M.full_forward(params, frames, minsize=8, caps=caps,
+                         crop_engine="gather", pnet_stem="pallas-interpret",
+                         pallas_pool="fused", pnet_impl="r4")
+    for r, g in zip(ref[:4], got[:4]):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

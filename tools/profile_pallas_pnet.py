@@ -76,16 +76,25 @@ def main():
             return sum(outs)
         jfns = {mode: jax.jit(fn)}
         arg = packed
-    elif mode in ("full", "fullg", "module", "ab"):
-        def mk(stem, pool):
+    elif mode in ("full", "fullg", "fullf", "module", "ab", "ab2"):
+        def mk(stem, pool, impl=None):
             return jax.jit(lambda p, f: M.full_forward(
                 p, f, minsize=minsize, compute_dtype=jnp.bfloat16,
-                pnet_stem=stem, pallas_pool=pool))
+                pnet_stem=stem, pallas_pool=pool, pnet_impl=impl))
         if mode == "ab":
             jfns = {"full:mm": mk("pallas", "mm"),
                     "full:gather": mk("pallas", "gather")}
+        elif mode == "ab2":
+            # round-5 arm matrix: pool (mm vs fused-in-kernel) x dot
+            # blocking (r1 vs r4), interleaved in one process
+            jfns = {"full:mm+r1": mk("pallas", "mm", "r1"),
+                    "full:mm+r4": mk("pallas", "mm", "r4"),
+                    "full:fused+r1": mk("pallas", "fused", "r1"),
+                    "full:fused+r4": mk("pallas", "fused", "r4")}
         elif mode == "module":
             jfns = {mode: mk("module", None)}
+        elif mode == "fullf":
+            jfns = {mode: mk("pallas", "fused", "r4")}
         else:
             jfns = {mode: mk("pallas", "gather" if mode == "fullg" else "mm")}
         arg = params

@@ -21,6 +21,7 @@ loops. TPU redesign:
   reference's IoM chain suppression, which is a pure matrix op.
 """
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -32,7 +33,8 @@ from ..ops.nms import (iom_chain_suppress, nms_keep_mask,
                         nms_keep_mask_bucketed, topk_by_score)
 from ..ops.select import block_topk_indices, pick_rows_onehot
 from ..ops.pallas_crops import adaptive_pool_crops, bucket_limits, pad_frames_chw
-from ..ops.pallas_pnet import pack_pnet_weights, pnet_level
+from ..ops.pallas_pnet import (pack_pnet_weights, pack_pnet_weights_r4,
+                                pad_frames_chw16, pnet_level, pnet_level_fused)
 from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
                           adaptive_pool_full_chw, adaptive_pool_full_chw_phase,
                           adaptive_pool_full_chw_phase_mm,
@@ -589,7 +591,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                  thresholds=(0.6, 0.7, 0.7), factor=0.709, compute_dtype=None,
                  crop_engine=None, pnet_s2d=False, pnet_tail=None,
                  pnet_stem=None, stage1_pick=None, stage1_nms=None,
-                 pallas_pool=None):
+                 pallas_pool=None, pnet_impl=None):
     """uint8 BGR frames [B, H, W, 3] -> (boxes [B, out, 4], scores, landmarks
     [B, out, 5, 2], valid, counts) — counts are true candidate totals per
     stage for host-side overflow detection.
@@ -639,12 +641,24 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
     exact.
 
     ``pallas_pool`` selects the pyramid pool feeding the plane-major stems:
-    ``"mm"`` — gather-free ``adaptive_pool_full_chw_phase_mm`` (row
-    take-pairs + {0,1} MXU column matmul) on every level whose pool windows
-    are <= 2 wide (all upscaled levels — 87% of pooled area at minsize 5 on
-    1080p), integral gathers for the rest; ``"gather"`` — integral-image
-    gathers everywhere. Bit-identical (the mm form is exact in bf16 for
-    <=2-wide windows); None = "mm".
+    ``"fused"`` — the pool runs INSIDE the PNet kernel
+    (``ops/pallas_pnet.py::pnet_level_fused``: per-tile row matmul + banded
+    column matmuls on the normalized frame planes; the pooled level never
+    exists in HBM) on every level whose pool windows are <= 2 wide,
+    integral gathers + the pre-pooled kernel for the rest; ``"mm"`` —
+    gather-free ``adaptive_pool_full_chw_phase_mm`` (row take-pairs +
+    {0,1} MXU column matmul) in HBM for the same levels; ``"gather"`` —
+    integral-image gathers everywhere. All three bit-identical (the mm/
+    fused forms are exact in bf16 for <=2-wide windows); None =
+    measured-best ("fused", docs/ROUND5.md).
+
+    ``pnet_impl`` selects the Pallas kernel's dot blocking: ``"r1"`` — one
+    output row per conv dot (M in {16, 32, 48}); ``"r4"`` — four rows per
+    dot (M in {64, 96, 128}; the MXU pads M to 128 per pass, so r1 wastes
+    3/4+ of every pass). Ulp-equivalent, not bit-identical (the padded-K
+    lowering regroups f32 accumulation, ~1 bf16 ulp) — the chosen impl
+    applies to EVERY level, so within a run selections are consistent;
+    None = measured-best ("r4", docs/ROUND5.md).
 
     ``stage1_nms`` selects how the 16 per-scale NMS problems run:
     ``"level"`` — one bucketed fixpoint per pyramid level, sequential (16
@@ -691,6 +705,19 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         else:
             pnet_stem = ("pallas" if (fast and jax.default_backend() == "tpu")
                          else "module")
+    if (pnet_stem == "chw" and jax.default_backend() == "tpu"
+            and os.environ.get("V2F_ALLOW_TPU_CRASH_ARMS") != "1"):
+        # the chw XLA pyramid reproducibly KILLS the TPU runtime process
+        # (Mosaic/XLA fault, docs/TPU_CRASH_ARMS.md) — refuse with an
+        # actionable error instead of a dead worker; the formulation stays
+        # available on CPU (tests) and under the explicit env override for
+        # ever re-testing it on newer libtpu
+        raise RuntimeError(
+            "pnet_stem='chw' composed over the pyramid reproducibly crashes "
+            "the TPU runtime worker (see docs/TPU_CRASH_ARMS.md for the "
+            "minimal repro and status). Use the default pnet_stem (fused "
+            "Pallas kernel) or 'module'; set V2F_ALLOW_TPU_CRASH_ARMS=1 "
+            "only to re-test the arm on a newer runtime.")
     plane_stem = pnet_stem in ("chw", "pallas", "pallas-interpret")
     if pnet_tail is None:
         pnet_tail = ("chw" if plane_stem
@@ -710,11 +737,21 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                          "stems (pnet_stem='pallas'/'pallas-interpret'); "
                          "stem %r never pools the phase-split layout"
                          % (pallas_pool, pnet_stem))
+    if pnet_impl is not None and pnet_stem not in ("pallas",
+                                                   "pallas-interpret"):
+        raise ValueError("pnet_impl=%r only applies to the Pallas stems"
+                         % (pnet_impl,))
     if pallas_pool is None:
-        pallas_pool = "mm"
-    if pallas_pool not in ("mm", "gather"):
-        raise ValueError("unknown pallas_pool %r (want 'mm', 'gather', or "
-                         "None for the default, 'mm')" % (pallas_pool,))
+        pallas_pool = "fused"
+    if pallas_pool not in ("mm", "gather", "fused"):
+        raise ValueError("unknown pallas_pool %r (want 'fused', 'mm', "
+                         "'gather', or None for the default, 'fused')"
+                         % (pallas_pool,))
+    if pnet_impl is None:
+        pnet_impl = "r4"
+    if pnet_impl not in ("r1", "r4"):
+        raise ValueError("unknown pnet_impl %r (want 'r1', 'r4', or None "
+                         "for the default, 'r4')" % (pnet_impl,))
     # plane-stem inputs, built lazily: levels in the <=2-window regime pool
     # straight from the normalized frame planes (gather-free mm form); only
     # the remaining small levels need the channel-major integral image
@@ -765,25 +802,48 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                     level_chw = level_chw.astype(compute_dtype)
                 reg_m, prob_m = pnet_chw(params["pnet"], level_chw, cache=wcache)
             else:
-                if pallas_pool == "mm" and pool_windows_le2((sh, sw), (h, w)):
+                interp = pnet_stem == "pallas-interpret"
+                kdt = (compute_dtype if compute_dtype is not None
+                       else jnp.float32)
+                pack = (pack_pnet_weights_r4 if pnet_impl == "r4"
+                        else pack_pnet_weights)
+                if ("pnet_packed", kdt, pnet_impl) not in wcache:
+                    wcache[("pnet_packed", kdt, pnet_impl)] = pack(
+                        params["pnet"], kdt)
+                packed_w = wcache[("pnet_packed", kdt, pnet_impl)]
+                if (pallas_pool == "fused"
+                        and pool_windows_le2((sh, sw), (h, w))):
+                    # pool fused INTO the kernel: the pooled level never
+                    # round-trips HBM (pnet_level_fused docstring)
                     if frames_norm_chw is None:
                         frames_norm_chw = _frames_norm_chw()
-                    level_ph = adaptive_pool_full_chw_phase_mm(
-                        frames_norm_chw, (sh, sw), (h, w))
+                    if "frames_norm_pad" not in wcache:
+                        wcache["frames_norm_pad"] = pad_frames_chw16(
+                            frames_norm_chw.astype(kdt))
+                    # padded_out: selection runs on the PADDED plane maps
+                    # (prob pads are zero-masked in-kernel) — the [:ph, :pw]
+                    # crop + flatten costs ~11 ms/step of XLA while/DUS
+                    # relayout on the big levels (docs/ROUND5.md trace)
+                    reg_m, prob_m, _ = pnet_level_fused(
+                        packed_w, wcache["frames_norm_pad"], (h, w),
+                        (sh, sw), interpret=interp, padded_out=True)
                 else:
-                    if ii_chw is None:
-                        ii_chw = integral_image_chw(frames_u8[..., ::-1])
-                    level_ph = _normalize(adaptive_pool_full_chw_phase(
-                        ii_chw, (sh, sw), (h, w)))
-                if compute_dtype is not None:
-                    level_ph = level_ph.astype(compute_dtype)
-                kdt = level_ph.dtype
-                if ("pnet_packed", kdt) not in wcache:
-                    wcache[("pnet_packed", kdt)] = pack_pnet_weights(
-                        params["pnet"], kdt)
-                reg_m, prob_m = pnet_level(
-                    wcache[("pnet_packed", kdt)], level_ph, (sh, sw),
-                    interpret=(pnet_stem == "pallas-interpret"))
+                    if pallas_pool == "mm" and pool_windows_le2((sh, sw),
+                                                                (h, w)):
+                        if frames_norm_chw is None:
+                            frames_norm_chw = _frames_norm_chw()
+                        level_ph = adaptive_pool_full_chw_phase_mm(
+                            frames_norm_chw, (sh, sw), (h, w))
+                    else:
+                        if ii_chw is None:
+                            ii_chw = integral_image_chw(frames_u8[..., ::-1])
+                        level_ph = _normalize(adaptive_pool_full_chw_phase(
+                            ii_chw, (sh, sw), (h, w)))
+                    if compute_dtype is not None:
+                        level_ph = level_ph.astype(compute_dtype)
+                    reg_m, prob_m, _ = pnet_level(
+                        packed_w, level_ph.astype(kdt), (sh, sw),
+                        interpret=interp, padded_out=True)
         elif pnet_stem == "packed":
             packed = _normalize(adaptive_pool_full_s2d2(ii, (sh, sw), (h, w)))
             if compute_dtype is not None:

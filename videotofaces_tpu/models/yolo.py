@@ -386,7 +386,7 @@ def postprocess(maps, priors, strides, num_classes=1, conf_thr=0.005, score_thr=
 
 def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
                  num_classes=1, out_topk=100, orig_hw=None, compute_dtype=None,
-                 s2d=False, packed_downs=()):
+                 s2d=False, packed_downs=(), raw_maps=False):
     """uint8 BGR frames -> final detections, one jitted graph.
 
     Mirrors YOLOv3.forward (yolo.py:139-147): keep-ratio resize to 608 max
@@ -395,6 +395,9 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
 
     ``orig_hw``: if given, frames are ALREADY resized to ``resized_hw`` on host
     (bit-parity cv2 INTER_LINEAR path) and only normalized/padded here.
+
+    ``raw_maps``: return the f32 head maps before postprocess (candidate-
+    density probes, e.g. tools/bench_density.py).
     """
     if orig_hw is None:
         h, w = frames_u8.shape[1:3]
@@ -438,6 +441,8 @@ def full_forward(params, frames_u8, resized_hw, canvas_hw, priors, strides,
     maps = YOLOv3(num_classes, from_stage0=s2d,
                   packed_downs=tuple(packed_downs)).apply({"params": params}, x)
     maps = [t.astype(jnp.float32) for t in maps]
+    if raw_maps:
+        return maps
     boxes, scores, classes, valid, overflow = postprocess(
         maps, priors, strides, num_classes, out_topk=out_topk)
     scale = jnp.asarray([w / nw, h / nh, w / nw, h / nh], jnp.float32)
