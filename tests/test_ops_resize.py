@@ -147,6 +147,32 @@ def test_adaptive_pool_full_chw_phase_mm_exact(rng):
             np.asarray(ref16.astype(jnp.float32))[..., live])
 
 
+def test_adaptive_pool_full_phase_mm01_exact_any_window(rng):
+    """The {0,1}-matmul phase pool is BIT-IDENTICAL to the integral-image
+    phase pool for ARBITRARY (downscale) window sizes — exact small-integer
+    f32 accumulation — in both f32 and bf16 input dtypes; dead pad columns
+    are exactly 0."""
+    from videotofaces_tpu.ops.pallas_pnet import phase_block_w
+
+    frames = rng.integers(0, 256, size=(2, 90, 130, 3)).astype(np.uint8)
+    iic = R.integral_image_chw(jnp.asarray(frames))
+    fr_chw = jnp.transpose(jnp.asarray(frames), (0, 3, 1, 2))
+    for oh, ow in [(39, 56), (28, 40), (14, 20), (7, 10), (5, 7)]:
+        assert not R.pool_windows_le2((oh, ow), (90, 130))
+        ref = np.asarray(R.adaptive_pool_full_chw_phase(
+            iic, (oh, ow), (90, 130)))
+        wb = phase_block_w(ow)
+        live = np.zeros(2 * wb, bool)
+        live[:(ow + 1) // 2] = True
+        live[wb:wb + ow // 2] = True
+        for dt in (jnp.float32, jnp.bfloat16):
+            got = np.asarray(R.adaptive_pool_full_phase_mm01(
+                fr_chw.astype(dt), (oh, ow), (90, 130)))
+            assert got.shape == (2, 3, oh, 2 * wb) and got.dtype == np.float32
+            np.testing.assert_array_equal(got[..., live], ref[..., live])
+            np.testing.assert_array_equal(got[..., ~live], 0.0)
+
+
 def test_pool_windows_le2_regimes():
     """Window-width predicate: true for upsample/identity and mild
     downsample (< 2x), false once any window can reach 3 wide."""

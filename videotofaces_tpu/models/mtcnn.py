@@ -38,8 +38,9 @@ from ..ops.pallas_pnet import (pack_pnet_weights, pack_pnet_weights_r4,
 from ..ops.resize import (adaptive_pool_boxes_batched, adaptive_pool_full,
                           adaptive_pool_full_chw, adaptive_pool_full_chw_phase,
                           adaptive_pool_full_chw_phase_mm,
+                          adaptive_pool_full_phase_mm01,
                           adaptive_pool_full_s2d2, adaptive_pool_full_s2d4,
-                          integral_image, integral_image_chw, pool_windows_le2)
+                          integral_image, pool_windows_le2)
 from .. import config
 from .layers import ConvUnit, PReLU, max_pool2d
 
@@ -754,8 +755,15 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                          "for the default, 'r4')" % (pnet_impl,))
     # plane-stem inputs, built lazily: levels in the <=2-window regime pool
     # straight from the normalized frame planes (gather-free mm form); only
-    # the remaining small levels need the channel-major integral image
-    ii_chw = frames_norm_chw = None
+    # the remaining small levels need the channel-major integral image.
+    # ii_chw is a TRANSPOSE of the HWC integral image, not a second cumsum:
+    # the duplicate [B, H+1, W+1] scan costs ~2.7 ms/step at 1080p (round-5
+    # per-op trace, tools/profile_mtcnn_trace.py) while the relayout of the
+    # already-computed s32 plane is a fraction of that; values identical
+    ii_chw = frames_norm_chw = frames_u8_chw = None
+
+    def _ii_chw():
+        return jnp.transpose(ii, (0, 3, 1, 2))
 
     def _frames_norm_chw():
         v = jnp.transpose(
@@ -796,7 +804,7 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
             # "chw" keeps the XLA shifted-slice formulation.
             if pnet_stem == "chw":
                 if ii_chw is None:
-                    ii_chw = integral_image_chw(frames_u8[..., ::-1])
+                    ii_chw = _ii_chw()
                 level_chw = _normalize(adaptive_pool_full_chw(ii_chw, (sh, sw), (h, w)))
                 if compute_dtype is not None:
                     level_chw = level_chw.astype(compute_dtype)
@@ -834,9 +842,21 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
                             frames_norm_chw = _frames_norm_chw()
                         level_ph = adaptive_pool_full_chw_phase_mm(
                             frames_norm_chw, (sh, sw), (h, w))
+                    elif pallas_pool in ("mm", "fused"):
+                        # non-le2 (downscaled) levels: {0,1} matmul pool —
+                        # bit-identical to the integral gathers but dense
+                        # MXU dots instead of ~8-10 ms/step of s32 gather
+                        # fusions (adaptive_pool_full_phase_mm01 docstring)
+                        if frames_u8_chw is None:
+                            frames_u8_chw = jnp.transpose(
+                                frames_u8[..., ::-1], (0, 3, 1, 2)).astype(
+                                compute_dtype if compute_dtype is not None
+                                else jnp.float32)
+                        level_ph = _normalize(adaptive_pool_full_phase_mm01(
+                            frames_u8_chw, (sh, sw), (h, w)))
                     else:
                         if ii_chw is None:
-                            ii_chw = integral_image_chw(frames_u8[..., ::-1])
+                            ii_chw = _ii_chw()
                         level_ph = _normalize(adaptive_pool_full_chw_phase(
                             ii_chw, (sh, sw), (h, w)))
                     if compute_dtype is not None:
@@ -902,10 +922,13 @@ def full_forward(params, frames_u8, minsize=20, caps=Caps(),
         total_cand = total_cand + level_cand
         scale_max = jnp.maximum(scale_max, level_cand)
         k1 = min(caps.pre1, d)
-        if fast and d > 4 * k1:
-            # big levels: lane-block top-k, index-only (nothing full-D-sized
-            # is materialized) — lax.top_k's full variadic sort over
-            # megapixel levels costs ~20 ms/level here
+        if fast and d > k1:
+            # every non-trivial level: lane-block top-k, index-only (nothing
+            # full-D-sized is materialized) — lax.top_k's full variadic sort
+            # costs ~20 ms on megapixel levels and still ~2.0 ms/step summed
+            # over the mid levels (round-5 trace: sort.114 1.27 ms at
+            # [2, 98496]); the block form measured ~10% cheaper there too
+            # (tools/profile_mtcnn_r5.py topk), same overflow contract
             scores, idx, overflow = block_topk_indices(masked, k1, per_block=4)
             select_overflow = select_overflow + overflow
             scores = jnp.maximum(scores, 0.0)  # -inf padding -> 0 (invalid)

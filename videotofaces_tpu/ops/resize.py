@@ -325,6 +325,63 @@ def adaptive_pool_full_chw_phase_mm(frames_norm_chw, out_hw, true_hw):
     return (out * invw).astype(frames_norm_chw.dtype)
 
 
+def adaptive_pool_full_phase_mm01(frames_u8_chw, out_hw, true_hw):
+    """Matmul adaptive pool for ARBITRARY window sizes, bit-identical to the
+    integral-gather path (``adaptive_pool_full_chw_phase`` before
+    ``_normalize``): [B, C, H, W] RAW-u8-VALUED planes (bf16 or f32) ->
+    [B, C, oh, 2*WB] f32 window averages in the column-phase-split layout.
+
+    Both stages are {0, 1} summation matmuls and every partial sum is a
+    SMALL INTEGER, so f32 accumulation is exact end to end: u8 values are
+    exact in bf16, the row stage's sums are <= 255 * wmax (~4.8k at the
+    1080p minsize-5 pyramid's widest 19-row window), and the f32-precision
+    column stage sums integers <= ~93k << 2^24. Dividing by the exact
+    window area afterwards reproduces the integral path's float values bit
+    for bit (unit-tested per level; dead phase-pad columns get an all-zero
+    matmul column -> finite 0, masked downstream like the gather pads).
+
+    Rationale: the non-le2 pyramid levels (scale < ~0.5 of the frame) were
+    the last integral-image consumers in the stage-1 hot path; their
+    [B, C, oh, W+1] row gathers + column gathers cost ~8-10 ms/step of the
+    48.7 ms round-5 cascade (per-op trace: 4x ~0.9 ms s32 gather fusions +
+    the duplicate CHW cumsum) while these dense dots are ~40 GFLOP total —
+    MXU work instead of serialized gather lanes. Reference semantics:
+    adaptive_avg_pool2d resample at detectors/mtcnn.py:149-156.
+    """
+    from .pallas_pnet import phase_block_w
+
+    h, w = true_hw
+    oh, ow = out_hw
+    wb = phase_block_w(ow)
+    ys, ye = pool_bounds_1d(h, oh)
+    xs, xe = pool_bounds_1d(w, ow)
+
+    def block(start):
+        idx = np.arange(start, ow, 2)
+        return np.concatenate([idx, np.full(wb - len(idx), -1, np.int64)])
+
+    order = np.concatenate([block(0), block(1)])  # [2*wb]
+    live = order >= 0
+    o = np.maximum(order, 0)
+    cs = np.where(live, xs[o], 0)
+    ce = np.where(live, xe[o], 0)  # dead slots: empty window -> zero column
+
+    ri = np.arange(h)
+    rmat = ((ri[None, :] >= ys[:, None])
+            & (ri[None, :] < ye[:, None])).astype(np.float32)     # [oh, H]
+    ci = np.arange(w)
+    cmat = ((ci[:, None] >= cs[None, :])
+            & (ci[:, None] < ce[None, :])).astype(np.float32)     # [W, 2*wb]
+    x = frames_u8_chw
+    rf = jnp.einsum("oh,bchw->bcow", jnp.asarray(rmat, x.dtype), x,
+                    preferred_element_type=jnp.float32)  # exact int sums
+    sums = jnp.einsum("bcow,wp->bcop", rf, jnp.asarray(cmat),
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    area = ((ye - ys)[:, None] * np.where(live, ce - cs, 1)[None, :])
+    return sums / jnp.asarray(area, jnp.float32)
+
+
 def adaptive_pool_boxes_batched(ii, boxes_xyxy, imgidx, out_size):
     """``adaptive_pool_boxes`` over a batch of integral images.
 
